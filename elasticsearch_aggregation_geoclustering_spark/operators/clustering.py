@@ -1,0 +1,252 @@
+"""The geo_point_clustering operator, Spark-first.
+
+Maps the reference pipeline (SURVEY.md §3.1) onto one declarative plan:
+
+    df.where(<query>)                        # P5: Catalyst pushes to the scan
+      .select(cell_udf(lon, lat), lat, lon)  # P7: Arrow-vectorized geohash
+      .groupBy("cell")                       # P8/P9/P12: partial+final
+      .agg(count, sum(lat), sum(lon), ...)   #   HashAggregate, one shuffle
+      .orderBy(desc("cell")).limit(size)     # P13: TakeOrderedAndProject
+      -> collect (≤ size rows)               # driver boundary
+      -> greedy merge (P14-P17, sequential by design, operators.merge)
+
+The per-cell centroid is ``sum/count``: the reference's per-shard running
+mean (GeoPointClusteringAggregator.java:140-143) combined with the
+doc-count-weighted reduce (BucketReducer.java:41-46) is mathematically the
+same quantity; Spark's partial/final HashAggregate is the same two-phase
+shape as the shard-collect → coordinator-reduce protocol.
+
+Scale notes: the only shuffle is keyed by the geohash cell (bounded
+cardinality: 32^precision, in practice ≤ millions of occupied cells at
+precision 12 for clustered data); partial aggregation collapses points
+map-side, so shuffle volume is O(occupied cells × partitions), independent of
+row count.  The driver only ever sees ≤ ``size`` rows (default 10,000 —
+GeoPointClusteringAggregationBuilder.java:42).
+
+``quantize_wire=True`` additionally reproduces the reference's partial-result
+quantization (InternalGeoPointClustering.java:54-73: centroids cross the wire
+packed into one long at ~1e-7° resolution) by inserting a per-partition
+pre-aggregation whose centroid is snapped to the Lucene 32-bit grid — this is
+why the reference goldens' centroid doubles differ from the exact mean by
+~2e-8 (see tests/test_clustering_golden.py).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..geo import geohash
+from ..geo.planner import ClusteringPlan, plan_clustering
+from .merge import Cluster, merge_clusters
+
+
+def cell_column(lon: Column, lat: Column, precision: int) -> Column:
+    """Geohash long-key column via an Arrow-batched pandas UDF (P7)."""
+
+    @F.pandas_udf(LongType())
+    def _encode(lon_s: pd.Series, lat_s: pd.Series) -> pd.Series:
+        keys = geohash.long_encode(
+            lon_s.to_numpy(dtype=np.float64), lat_s.to_numpy(dtype=np.float64), precision
+        )
+        return pd.Series(keys)
+
+    return _encode(lon, lat)
+
+
+def geohash_string_column(cells: Column) -> Column:
+    """Render geohash long keys (or arrays of them) to base-32 strings (P22)."""
+
+    @F.pandas_udf(StringType())
+    def _render(cell_s: pd.Series) -> pd.Series:
+        return pd.Series(geohash.string_encode_from_long(cell_s.to_numpy(dtype=np.int64)))
+
+    return _render(cells)
+
+
+def _quantize_centroid(lat: Column, lon: Column) -> tuple[Column, Column]:
+    """Round-trip a centroid through the Lucene 32-bit wire grid (P11).
+
+    encodeLatLon/decodeLatitude/decodeLongitude in
+    InternalGeoPointClustering.java:173-185: encode = floor(deg/step) (with
+    the +edge stepped down), decode = encoded * step.
+    """
+
+    @F.pandas_udf(DoubleType())
+    def _qlat(s: pd.Series) -> pd.Series:
+        v = s.to_numpy(dtype=np.float64)
+        enc = geohash._encode_axis(v, geohash.LATITUDE_DECODE, 90.0)
+        return pd.Series(enc * geohash.LATITUDE_DECODE)
+
+    @F.pandas_udf(DoubleType())
+    def _qlon(s: pd.Series) -> pd.Series:
+        v = s.to_numpy(dtype=np.float64)
+        enc = geohash._encode_axis(v, geohash.LONGITUDE_DECODE, 180.0)
+        return pd.Series(enc * geohash.LONGITUDE_DECODE)
+
+    return _qlat(lat), _qlon(lon)
+
+
+def geo_cell_aggregate(
+    df: DataFrame,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    zoom: int = 1,
+    *,
+    quantize_wire: bool = False,
+    metrics: dict[str, Column] | None = None,
+    **params,
+) -> DataFrame:
+    """Distributed part of the clustering: per-cell counts and centroids.
+
+    Returns a DataFrame ``(cell, doc_count, centroid_lat, centroid_lon,
+    <metrics...>)`` — the candidate buckets before truncation and merge.
+    This is the SQL-checkable core (P5, P7, P8/P9/P12 fused into one
+    groupBy); callers chain ``.orderBy(F.desc("cell")).limit(size)`` for P13.
+    """
+    plan = plan_clustering(zoom, **params)
+    return _cell_aggregate(df, lon_col, lat_col, plan, quantize_wire, metrics)
+
+
+def _cell_aggregate(
+    df: DataFrame,
+    lon_col: str,
+    lat_col: str,
+    plan: ClusteringPlan,
+    quantize_wire: bool,
+    metrics: dict[str, Column] | None,
+) -> DataFrame:
+    metrics = metrics or {}
+    base = df.select(
+        cell_column(F.col(lon_col), F.col(lat_col), plan.precision).alias("cell"),
+        F.col(lat_col).cast("double").alias("_lat"),
+        F.col(lon_col).cast("double").alias("_lon"),
+        *[expr.alias(f"_m_{name}") for name, expr in metrics.items()],
+    )
+    metric_aggs = [F.sum(f"_m_{name}").alias(name) for name in metrics]
+
+    if not quantize_wire:
+        return base.groupBy("cell").agg(
+            F.count(F.lit(1)).alias("doc_count"),
+            (F.sum("_lat") / F.count(F.lit(1))).alias("centroid_lat"),
+            (F.sum("_lon") / F.count(F.lit(1))).alias("centroid_lon"),
+            *metric_aggs,
+        )
+
+    # Parity mode: per-partition partials with quantized centroids (the
+    # reference's shard → coordinator wire format), then weighted combine.
+    partial = (
+        base.withColumn("_pid", F.spark_partition_id())
+        .groupBy("cell", "_pid")
+        .agg(
+            F.count(F.lit(1)).alias("_cnt"),
+            (F.sum("_lat") / F.count(F.lit(1))).alias("_plat"),
+            (F.sum("_lon") / F.count(F.lit(1))).alias("_plon"),
+            *[F.sum(f"_m_{name}").alias(f"_m_{name}") for name in metrics],
+        )
+    )
+    qlat, qlon = _quantize_centroid(F.col("_plat"), F.col("_plon"))
+    partial = partial.withColumn("_qlat", qlat).withColumn("_qlon", qlon)
+    return partial.groupBy("cell").agg(
+        F.sum("_cnt").alias("doc_count"),
+        (F.sum(F.col("_qlat") * F.col("_cnt")) / F.sum("_cnt")).alias("centroid_lat"),
+        (F.sum(F.col("_qlon") * F.col("_cnt")) / F.sum("_cnt")).alias("centroid_lon"),
+        *[F.sum(f"_m_{name}").alias(name) for name in metrics],
+    )
+
+
+@dataclass(frozen=True)
+class ClusteringResult:
+    """Final clusters plus the folded plan, renderable like the plugin."""
+
+    plan: ClusteringPlan
+    clusters: list[Cluster]
+
+    def to_buckets(self) -> list[dict]:
+        """JSON-shaped buckets (InternalGeoPointClustering.java:107-114)."""
+        return [
+            {
+                "geohash_grids": list(geohash.string_encode_from_long(np.array(c.cells, dtype=np.int64))),
+                "doc_count": c.doc_count,
+                "centroid": {"lat": c.lat, "lon": c.lon},
+                **({"metrics": dict(c.metrics)} if c.metrics else {}),
+            }
+            for c in self.clusters
+        ]
+
+
+_RESULT_SCHEMA = StructType(
+    [
+        StructField("key", StringType()),
+        StructField("geohash_grids", ArrayType(StringType())),
+        StructField("doc_count", LongType()),
+        StructField("centroid_lat", DoubleType()),
+        StructField("centroid_lon", DoubleType()),
+    ]
+)
+
+
+def geo_point_clustering(
+    df: DataFrame,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    zoom: int = 1,
+    *,
+    quantize_wire: bool = False,
+    metrics: dict[str, Column] | None = None,
+    **params,
+) -> ClusteringResult:
+    """Full aggregation: distributed cell agg + driver-side greedy merge.
+
+    Unmapped-field short-circuit (P19,
+    GeoPointClusteringAggregatorFactory.java:57-73): a missing lon/lat column
+    yields a well-formed empty result rather than an error.
+    """
+    plan = plan_clustering(zoom, **params)
+    if lon_col not in df.columns or lat_col not in df.columns:
+        return ClusteringResult(plan=plan, clusters=[])
+
+    cells_df = _cell_aggregate(df, lon_col, lat_col, plan, quantize_wire, metrics)
+    rows = (
+        cells_df.orderBy(F.desc("cell")).limit(plan.size).collect()
+    )  # TakeOrderedAndProject; ≤ size rows reach the driver
+    metric_names = list((metrics or {}).keys())
+    candidates = [
+        Cluster(
+            cell=row["cell"],
+            lat=row["centroid_lat"],
+            lon=row["centroid_lon"],
+            doc_count=row["doc_count"],
+            metrics={name: row[name] for name in metric_names},
+        )
+        for row in rows
+    ]
+    clusters = merge_clusters(candidates, plan.radius_m, plan.ratio)
+    return ClusteringResult(plan=plan, clusters=clusters)
+
+
+def clusters_to_dataframe(spark: SparkSession, result: ClusteringResult) -> DataFrame:
+    """Render a ClusteringResult as a small DataFrame (driver-gate shape)."""
+    data = [
+        (
+            str(geohash.string_encode_from_long(np.array([c.cell]))[0]),
+            [str(s) for s in geohash.string_encode_from_long(np.array(c.cells, dtype=np.int64))],
+            c.doc_count,
+            c.lat,
+            c.lon,
+        )
+        for c in result.clusters
+    ]
+    return spark.createDataFrame(data, _RESULT_SCHEMA)
