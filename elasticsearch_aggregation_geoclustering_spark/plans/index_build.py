@@ -1,0 +1,307 @@
+"""Batch inverted-index build: documents DataFrame -> segmented postings.
+
+The Spark-first shape of Elasticsearch's bulk-index path (SURVEY.md §3.2):
+
+1. **docID assignment** — dense rank over the natural key
+   ``(repo, path, commit)``, the deterministic BM25 tie-break order.  A
+   window over an unpartitioned ORDER BY would serialize on one task, so we
+   use the scalable two-pass idiom: ``repartitionByRange`` on the key (global
+   range sort), count rows per partition, broadcast the partition offsets,
+   then assign ``offset[pid] + local_row`` inside ``mapInPandas``.
+2. **segmenting** — ``seg_id = doc_id // docs_per_segment``: contiguous,
+   disjoint docID ranges, the analog of Lucene segments.  Because segments
+   partition by DOCUMENT, not by term, no term-keyed shuffle ever carries
+   raw postings, so Zipf-hot terms ("the", "import") cannot concentrate on
+   one reducer — each segment holds at most ``docs_per_segment`` entries of
+   any term.  (The term-keyed shuffles that do exist — global df stats and
+   segment merging — aggregate/are bucketed per segment, i.e. pre-salted;
+   see merge_segments.)
+3. **segment build** — one ``applyInPandas`` group per segment: tokenize
+   (vectorized pandas), per-doc term frequencies, delta+varbyte pack, write
+   one parquet sorted by term (row-group stats prune term lookups), emit a
+   manifest row with lineage + metrics.  Doc lengths are denormalized into
+   each posting (``dls_vb``) — Lucene-norm style — so scoring never joins a
+   doc-length table.
+4. **global stats** — ``groupBy(term).sum(df)`` over the per-segment df
+   rows (tiny: one row per distinct (term, segment)), plus N/avgdl.
+
+Resumability (north_rule): completed segment ids are recorded in
+``manifest.json`` and filtered out of step 3 on re-run; files are written
+atomically with deterministic bytes and sha256 recorded
+(tests/test_index_build.py asserts byte-identical resume).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import codec
+from ..functions.tokenizer import TOKENIZER_VERSION, doc_term_frequencies
+from ..sources import segments as seg_store
+from ..sources.segments import (
+    SEGMENT_MANIFEST_SPARK_SCHEMA,
+    IndexManifest,
+    load_manifest,
+    save_manifest,
+    save_stats,
+)
+
+DEFAULT_DOCS_PER_SEGMENT = 8192
+
+
+def assign_doc_ids(
+    df: DataFrame, key_cols: tuple[str, ...], num_partitions: int | None = None
+) -> DataFrame:
+    """Dense rank over ``key_cols`` without a single-task window.
+
+    Requires the key to be unique per row (true for (repo, path, commit)).
+    """
+    keys = [F.col(c) for c in key_cols]
+    num_partitions = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(num_partitions, *keys).sortWithinPartitions(*keys)
+    with_pid = ranged.withColumn("_pid", F.spark_partition_id())
+    counts = {r["_pid"]: r["cnt"] for r in with_pid.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    offsets = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+
+    out_schema = ", ".join(
+        ["doc_id long"] + [f"`{name}` {dtype}" for name, dtype in with_pid.drop("_pid").dtypes]
+    )
+
+    def _assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        local = 0
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            pid = int(pdf["_pid"].iloc[0])
+            base = offsets[pid] + local
+            local += len(pdf)
+            out = pdf.drop(columns=["_pid"])
+            out.insert(0, "doc_id", np.arange(base, base + len(pdf), dtype=np.int64))
+            yield out
+
+    return with_pid.mapInPandas(_assign, out_schema)
+
+
+def _build_segment_fn(index_dir: str, docs_per_segment: int, content_col: str):
+    """Per-segment builder for applyInPandas: tokenizes, packs, writes."""
+
+    def build(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        import pyarrow as pa
+
+        t0 = seg_store.now()
+        seg_id = int(key[0])
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        doc_ids = pdf["doc_id"].to_numpy(np.int64)
+
+        tf_frame = doc_term_frequencies(pdf[content_col])
+        # doc length per positional row, then per doc_id
+        dl_by_row = np.zeros(len(pdf), dtype=np.int64)
+        if not tf_frame.empty:
+            dl_sums = tf_frame.groupby("row")["tf"].sum()
+            dl_by_row[dl_sums.index.to_numpy(np.int64)] = dl_sums.to_numpy(np.int64)
+
+        if tf_frame.empty:
+            terms_u = np.empty(0, dtype=object)
+            starts = np.empty(0, dtype=np.int64)
+            run_lens = np.empty(0, dtype=np.int64)
+            total = 0
+            ids_all = np.empty(0, dtype=np.int64)
+            tf_vals = np.empty(0, dtype=np.int64)
+            dls_all = np.empty(0, dtype=np.int64)
+        else:
+            # postings order: (term asc, doc_id asc); rows within a term are
+            # already doc-ordered because doc_term_frequencies sorts by row
+            term_sorted = tf_frame.sort_values(["term", "row"], kind="stable").reset_index(drop=True)
+            terms_arr = term_sorted["term"].to_numpy()
+            starts = np.flatnonzero(
+                np.concatenate(([True], terms_arr[1:] != terms_arr[:-1]))
+            )
+            terms_u = terms_arr[starts]
+            total = len(terms_arr)
+            run_lens = np.diff(np.append(starts, total))
+            row_idx = term_sorted["row"].to_numpy(np.int64)
+            tf_vals = term_sorted["tf"].to_numpy(np.int64)
+            ids_all = doc_ids[row_idx]
+            dls_all = dl_by_row[row_idx]
+
+        # all three binary columns come out of one vectorized encode each
+        deltas = codec.segmented_delta_encode(ids_all.astype(np.uint64), starts)
+        table = pa.table(
+            {
+                "term": pa.array(terms_u, pa.string()),
+                "seg_id": pa.array(np.full(len(terms_u), seg_id, dtype=np.int64)),
+                "df": pa.array(run_lens.astype(np.int64)),
+                "doc_ids_vb": codec.segmented_varbyte_binary(deltas, starts, total),
+                "tfs_vb": codec.segmented_varbyte_binary(tf_vals.astype(np.uint64), starts, total),
+                "dls_vb": codec.segmented_varbyte_binary(dls_all.astype(np.uint64), starts, total),
+            },
+            schema=seg_store.POSTINGS_ARROW_SCHEMA,
+        )
+        path = seg_store.segment_postings_path(index_dir, seg_id)
+        size, digest = seg_store.write_segment_file(path, table)
+        return pd.DataFrame(
+            [
+                {
+                    "seg_id": seg_id,
+                    "n_docs": len(pdf),
+                    "n_terms": len(terms_u),
+                    "n_postings": int(total),
+                    "total_tokens": int(dl_by_row.sum()),
+                    "postings_bytes": size,
+                    "sha256": digest,
+                    "build_wall_sec": seg_store.now() - t0,
+                }
+            ]
+        )
+
+    return build
+
+
+def build_index(
+    spark: SparkSession,
+    docs: DataFrame,
+    index_dir: str,
+    *,
+    content_col: str = "content",
+    key_cols: tuple[str, ...] = ("repo", "path", "commit"),
+    docmap_cols: tuple[str, ...] = (),
+    docs_per_segment: int = DEFAULT_DOCS_PER_SEGMENT,
+    resume: bool = True,
+) -> dict:
+    """Build (or resume) the inverted index; returns the stats dict.
+
+    ``docmap_cols``: extra columns carried into the docmap table (e.g. lang,
+    lon, lat) for query-time joins.  The docmap also records
+    ``sha256(content)`` per row — the input_hint per-row invariant.
+    """
+    os.makedirs(index_dir, exist_ok=True)
+    docmap_dir = os.path.join(index_dir, "docmap")
+    manifest = load_manifest(index_dir) if resume else None
+
+    if manifest is None or not os.path.exists(docmap_dir):
+        assigned = assign_doc_ids(docs, key_cols).withColumn(
+            "sha256", F.sha2(F.col(content_col), 256)
+        )
+        n_docs = assigned.count()
+        num_segments = (n_docs + docs_per_segment - 1) // docs_per_segment
+        manifest = IndexManifest(
+            docs_per_segment=docs_per_segment,
+            tokenizer_version=TOKENIZER_VERSION,
+            num_segments_expected=int(num_segments),
+        )
+        (
+            assigned.select("doc_id", *key_cols, *docmap_cols, "sha256")
+            .repartitionByRange(max(1, int(num_segments)), "doc_id")
+            .write.mode("overwrite")
+            .parquet(docmap_dir)
+        )
+        save_manifest(index_dir, manifest)
+        work = assigned.select("doc_id", content_col)
+    else:
+        docmap = spark.read.parquet(docmap_dir)
+        work = docs.join(docmap.select("doc_id", *key_cols), on=list(key_cols)).select(
+            "doc_id", content_col
+        )
+        docs_per_segment = manifest.docs_per_segment
+
+    done = manifest.completed_segment_ids()
+    work = work.withColumn("seg_id", (F.col("doc_id") / F.lit(docs_per_segment)).cast("long"))
+    if done:
+        work = work.where(~F.col("seg_id").isin([int(s) for s in done]))
+
+    new_rows = (
+        work.groupBy("seg_id")
+        .applyInPandas(
+            _build_segment_fn(index_dir, docs_per_segment, content_col),
+            SEGMENT_MANIFEST_SPARK_SCHEMA,
+        )
+        .collect()
+    )
+    for row in new_rows:
+        manifest.segments[str(row["seg_id"])] = row.asDict()
+    save_manifest(index_dir, manifest)
+
+    # global term stats: one input row per distinct (term, segment) — partial
+    # aggregation collapses hot terms map-side, so no skewed reducer.
+    postings = spark.read.parquet(seg_store.segments_glob(index_dir))
+    term_stats_dir = os.path.join(index_dir, "term_stats")
+    (
+        postings.groupBy("term")
+        .agg(F.sum("df").alias("df"))
+        .repartition(1)
+        .sortWithinPartitions("term")
+        .write.mode("overwrite")
+        .parquet(term_stats_dir)
+    )
+
+    n_docs_total = sum(m["n_docs"] for m in manifest.segments.values())
+    total_tokens = sum(m["total_tokens"] for m in manifest.segments.values())
+    stats = {
+        "n_docs": int(n_docs_total),
+        "total_tokens": int(total_tokens),
+        "avgdl": (total_tokens / n_docs_total) if n_docs_total else 0.0,
+        "n_segments": len(manifest.segments),
+        "tokenizer_version": manifest.tokenizer_version,
+    }
+    save_stats(index_dir, stats)
+    return stats
+
+
+def merge_segments(
+    spark: SparkSession,
+    index_dir: str,
+    out_dir: str,
+    *,
+    fanin: int = 8,
+) -> None:
+    """Merge segments ``fanin``-at-a-time into larger ones (H4).
+
+    Groups by ``(term, merge_bucket)`` where ``merge_bucket = seg_id //
+    fanin`` — the bucket is the salt: a Zipf-hot term's postings stay split
+    across buckets instead of landing on one reducer.  Because segment doc
+    ranges are disjoint and ordered by seg_id, concatenating per-segment
+    postings in seg_id order preserves global docID order, so re-encoding is
+    a linear concat, no re-sort.
+    """
+    from ..sources.segments import POSTINGS_ARROW_SCHEMA  # noqa: F401
+
+    postings = spark.read.parquet(seg_store.segments_glob(index_dir))
+    bucketed = postings.withColumn("merge_bucket", (F.col("seg_id") / F.lit(fanin)).cast("long"))
+
+    def merge(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("seg_id")
+        ids = np.concatenate([codec.decode_posting_ids(b) for b in pdf["doc_ids_vb"]])
+        tfs = np.concatenate([codec.varbyte_decode(b) for b in pdf["tfs_vb"]])
+        dls = np.concatenate([codec.varbyte_decode(b) for b in pdf["dls_vb"]])
+        return pd.DataFrame(
+            [
+                {
+                    "term": key[0],
+                    "seg_id": int(key[1]),
+                    "df": len(ids),
+                    "doc_ids_vb": codec.encode_posting_ids(ids),
+                    "tfs_vb": codec.varbyte_encode(tfs),
+                    "dls_vb": codec.varbyte_encode(dls),
+                }
+            ]
+        )
+
+    merged = bucketed.groupBy("term", "merge_bucket").applyInPandas(
+        merge, seg_store.POSTINGS_SPARK_SCHEMA
+    )
+    (
+        merged.repartitionByRange(max(1, bucketed.select("merge_bucket").distinct().count()), "seg_id", "term")
+        .sortWithinPartitions("seg_id", "term")
+        .write.mode("overwrite")
+        .parquet(os.path.join(out_dir, "segments"))
+    )

@@ -1,0 +1,180 @@
+"""Query engine over the segmented inverted index (H5-H8).
+
+Plan shape for a BM25 top-k search::
+
+    scan segments parquet                 # term IN (...) pushed to row-group
+      .where(term.isin(query_terms))     #   min/max stats (sorted by term)
+      -> mapInPandas decode              # varbyte -> (term, doc_id, tf, dl),
+                                         #   numpy, Arrow-batched
+      -> per-row score = idf_t * tf/(tf + k1(1-b+b·dl/avgdl))
+                                         # idf folded driver-side, tiny literal
+                                         #   map; all arithmetic JVM-side
+      -> groupBy(doc_id)                 # ONE shuffle, keyed by doc — query
+                                         #   terms ≤ tens, no hot-key skew
+           .agg(fold(sort(collect_list(term, score))))
+                                         # deterministic association order =>
+                                         #   bit-identical to the numpy oracle
+      -> orderBy(score desc, doc_id asc).limit(k)   # TakeOrderedAndProject
+
+Match counting (H6) and boolean AND/OR (H5) ride the same decoded stream:
+AND = docs whose distinct-term count equals the query's distinct-term count
+(posting-list intersection via the same groupBy), OR = distinct doc_ids.
+
+The reference surfaces these engine behaviors rather than implementing them
+(SURVEY.md §2.2); formulas follow functions/bm25.py.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterator
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import bm25, codec
+from ..sources import segments as seg_store
+from ..sources.segments import load_stats
+
+DECODED_SCHEMA = "term string, doc_id long, tf long, dl long"
+
+
+def _decode_postings_fn(lucene_norms: bool):
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            terms, doc_ids, tfs, dls = [], [], [], []
+            for term, ids_vb, tfs_vb, dls_vb in zip(
+                pdf["term"], pdf["doc_ids_vb"], pdf["tfs_vb"], pdf["dls_vb"]
+            ):
+                ids = codec.decode_posting_ids(ids_vb).astype(np.int64)
+                terms.append(np.full(ids.size, term, dtype=object))
+                doc_ids.append(ids)
+                tfs.append(codec.varbyte_decode(tfs_vb).astype(np.int64))
+                dls.append(codec.varbyte_decode(dls_vb).astype(np.int64))
+            dl = np.concatenate(dls)
+            if lucene_norms:
+                dl = bm25.quantize_doc_length(dl)
+            yield pd.DataFrame(
+                {
+                    "term": np.concatenate(terms),
+                    "doc_id": np.concatenate(doc_ids),
+                    "tf": np.concatenate(tfs),
+                    "dl": dl,
+                }
+            )
+
+    return decode
+
+
+@dataclass
+class InvertedIndex:
+    """Reader over an index directory produced by plans.index_build."""
+
+    spark: SparkSession
+    index_dir: str
+    n_docs: int
+    avgdl: float
+
+    @classmethod
+    def open(cls, spark: SparkSession, index_dir: str) -> "InvertedIndex":
+        stats = load_stats(index_dir)
+        return cls(spark=spark, index_dir=index_dir, n_docs=stats["n_docs"], avgdl=stats["avgdl"])
+
+    # --- raw layers -----------------------------------------------------
+
+    def postings(self, terms: list[str] | None = None) -> DataFrame:
+        """Encoded postings rows; term filter pushed into the parquet scan."""
+        df = self.spark.read.parquet(seg_store.segments_glob(self.index_dir))
+        if terms is not None:
+            df = df.where(F.col("term").isin(sorted(set(terms))))
+        return df
+
+    def term_stats(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.index_dir, "term_stats"))
+
+    def docmap(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.index_dir, "docmap"))
+
+    def term_doc_rows(self, terms: list[str] | None = None, lucene_norms: bool = False) -> DataFrame:
+        """Decoded posting stream: (term, doc_id, tf, dl)."""
+        return self.postings(terms).mapInPandas(
+            _decode_postings_fn(lucene_norms), DECODED_SCHEMA
+        )
+
+    def df_of(self, terms: list[str]) -> dict[str, int]:
+        """Global document frequencies (driver-side, tiny)."""
+        rows = self.term_stats().where(F.col("term").isin(sorted(set(terms)))).collect()
+        return {r["term"]: r["df"] for r in rows}
+
+    # --- queries ----------------------------------------------------------
+
+    def match_count(self, terms: list[str], mode: str = "OR") -> int:
+        """hits.total for a term / AND / OR query (H6)."""
+        terms = sorted(set(terms))
+        if not terms:
+            return 0
+        if len(terms) == 1:
+            # fast path: df is precomputed
+            return self.df_of(terms).get(terms[0], 0)
+        rows = self.term_doc_rows(terms)
+        if mode.upper() == "AND":
+            return (
+                rows.groupBy("doc_id")
+                .agg(F.count_distinct("term").alias("nt"))
+                .where(F.col("nt") == len(terms))
+                .count()
+            )
+        return rows.select("doc_id").distinct().count()
+
+    def search(
+        self,
+        terms: list[str],
+        k: int = 10,
+        mode: str = "OR",
+        params: bm25.Bm25Params = bm25.Bm25Params(),
+    ) -> DataFrame:
+        """BM25 top-k: DataFrame (doc_id, score) ranked, ≤ k rows (H7/H8)."""
+        terms = sorted(set(terms))
+        df_map = self.df_of(terms)
+        idfs = bm25.idf_map(self.n_docs, df_map)
+
+        rows = self.term_doc_rows([t for t in terms if t in df_map], params.lucene_norms)
+        if not df_map:
+            return rows.select("doc_id", F.lit(0.0).alias("score")).limit(0)
+
+        idf_expr: Column = F.element_at(
+            F.create_map(*[F.lit(x) for t in idfs for x in (t, idfs[t])]), F.col("term")
+        )
+        # same expression tree as the numpy oracle => bit-identical doubles
+        tf_d = F.col("tf").cast("double")
+        dl_d = F.col("dl").cast("double")
+        denom = tf_d + F.lit(params.k1) * (
+            F.lit(1.0) - F.lit(params.b) + F.lit(params.b) * dl_d / F.lit(self.avgdl)
+        )
+        scored = rows.select("doc_id", "term", (idf_expr * (tf_d / denom)).alias("score"))
+
+        # deterministic fold order (sorted by term) — matches the oracle even
+        # for >2-term queries where fp addition is association-sensitive
+        agg = scored.groupBy("doc_id").agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("term", "score"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["score"],
+            ).alias("score"),
+            F.count(F.lit(1)).alias("_nterms"),
+        )
+        if mode.upper() == "AND":
+            agg = agg.where(F.col("_nterms") == len(terms))
+        return agg.select("doc_id", "score").orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    def search_with_docs(self, terms: list[str], k: int = 10, mode: str = "OR", **kw) -> DataFrame:
+        """Top-k joined back to the docmap (broadcast the tiny top-k side)."""
+        topk = self.search(terms, k, mode, **kw)
+        return self.docmap().join(F.broadcast(topk), on="doc_id").orderBy(
+            F.desc("score"), F.asc("doc_id")
+        )

@@ -1,0 +1,158 @@
+"""Segment storage layout + resumable build manifest (H1/H3/H4 substrate).
+
+Index directory layout::
+
+    <index_dir>/
+      manifest.json                     # params + per-segment lineage/metrics
+      docmap/part-*.parquet             # doc_id, repo, path, commit, sha256, dl, (lon, lat)
+      segments/seg_<id>.postings.parquet  # term, seg_id, df, doc_ids_vb, tfs_vb, dls_vb
+      term_stats/part-*.parquet         # term, df (global), max_tf
+      stats.json                        # N, avgdl, total_tokens
+
+Segments are doc_id ranges (``seg_id = doc_id // docs_per_segment``) — the
+Spark analog of Lucene's per-shard segments (SURVEY.md H1/H4).  Each segment
+is built by exactly one task and written atomically (tmp file + rename), and
+the manifest records its sha256, row counts and build parameters, so an
+interrupted build resumes by skipping completed segment ids and reproduces
+byte-identical files (north_rule: "resumable from checkpoint with
+per-partition lineage + metrics").
+
+Postings within a segment are sorted by term, so parquet row-group min/max
+statistics prune term lookups at query time without any extra structure.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+from dataclasses import asdict, dataclass, field
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+MANIFEST_NAME = "manifest.json"
+STATS_NAME = "stats.json"
+
+POSTINGS_ARROW_SCHEMA = pa.schema(
+    [
+        ("term", pa.string()),
+        ("seg_id", pa.int64()),
+        ("df", pa.int64()),
+        ("doc_ids_vb", pa.binary()),  # delta+varbyte sorted docIDs
+        ("tfs_vb", pa.binary()),  # varbyte term frequencies (aligned)
+        ("dls_vb", pa.binary()),  # varbyte doc lengths (denormalized norms)
+    ]
+)
+
+POSTINGS_SPARK_SCHEMA = (
+    "term string, seg_id long, df long, doc_ids_vb binary, tfs_vb binary, dls_vb binary"
+)
+
+SEGMENT_MANIFEST_SPARK_SCHEMA = (
+    "seg_id long, n_docs long, n_terms long, n_postings long, total_tokens long, "
+    "postings_bytes long, sha256 string, build_wall_sec double"
+)
+
+
+@dataclass
+class SegmentMeta:
+    seg_id: int
+    n_docs: int
+    n_terms: int
+    n_postings: int
+    total_tokens: int
+    postings_bytes: int
+    sha256: str
+    build_wall_sec: float
+
+
+@dataclass
+class IndexManifest:
+    docs_per_segment: int
+    tokenizer_version: str
+    num_segments_expected: int
+    segments: dict[str, dict] = field(default_factory=dict)  # seg_id -> SegmentMeta dict
+
+    def completed_segment_ids(self) -> set[int]:
+        return {int(s) for s in self.segments}
+
+    def is_complete(self) -> bool:
+        return len(self.segments) >= self.num_segments_expected
+
+
+def manifest_path(index_dir: str) -> str:
+    return os.path.join(index_dir, MANIFEST_NAME)
+
+
+def load_manifest(index_dir: str) -> IndexManifest | None:
+    path = manifest_path(index_dir)
+    if not os.path.exists(path):
+        return None
+    with open(path) as fh:
+        raw = json.load(fh)
+    return IndexManifest(
+        docs_per_segment=raw["docs_per_segment"],
+        tokenizer_version=raw["tokenizer_version"],
+        num_segments_expected=raw["num_segments_expected"],
+        segments=raw.get("segments", {}),
+    )
+
+
+def save_manifest(index_dir: str, manifest: IndexManifest) -> None:
+    path = manifest_path(index_dir)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(asdict(manifest), fh, indent=1, sort_keys=True)
+    os.replace(tmp, path)
+
+
+def segment_postings_path(index_dir: str, seg_id: int) -> str:
+    return os.path.join(index_dir, "segments", f"seg_{seg_id:06d}.postings.parquet")
+
+
+def segments_glob(index_dir: str) -> str:
+    return os.path.join(index_dir, "segments")
+
+
+def write_segment_file(path: str, table: pa.Table) -> tuple[int, str]:
+    """Atomically write one segment parquet; returns (bytes, sha256).
+
+    Deterministic bytes: fixed pyarrow options, no timestamps in metadata —
+    required for the resumability byte-identity guarantee.
+    """
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = f"{path}.tmp.{os.getpid()}"
+    pq.write_table(
+        table,
+        tmp,
+        compression="zstd",
+        use_dictionary=True,
+        write_statistics=True,
+        data_page_version="2.0",
+        store_schema=False,
+    )
+    digest = hashlib.sha256()
+    with open(tmp, "rb") as fh:
+        for chunk in iter(lambda: fh.read(1 << 20), b""):
+            digest.update(chunk)
+    size = os.path.getsize(tmp)
+    os.replace(tmp, path)
+    return size, digest.hexdigest()
+
+
+def load_stats(index_dir: str) -> dict:
+    with open(os.path.join(index_dir, STATS_NAME)) as fh:
+        return json.load(fh)
+
+
+def save_stats(index_dir: str, stats: dict) -> None:
+    tmp = os.path.join(index_dir, STATS_NAME + ".tmp")
+    with open(tmp, "w") as fh:
+        json.dump(stats, fh, indent=1, sort_keys=True)
+    os.replace(tmp, os.path.join(index_dir, STATS_NAME))
+
+
+def now() -> float:
+    return time.time()
