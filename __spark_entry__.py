@@ -1,38 +1,480 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship composition (index-backed BM25 search →
+matched docs → geo_point_clustering, the reference's query-then-aggregate
+flow).  ``queries()`` exposes one callable per implemented operator from
+SURVEY.md §2 plus the training-data extras; ``oracle_sql()`` gives the DuckDB
+equivalent for every SQL-expressible one.  All SQL strings are generated from
+the SAME Python constants the Spark operators use
+(elasticsearch_aggregation_geoclustering_spark/extras/oracles_sql.py), so the
+two sides cannot drift.
+
+Column-name contract: every aggregate/computed column is aliased identically
+on both sides.  Float outputs are rounded (5-6 dp) on both sides because the
+two engines associate fp sums differently (identical math, last-ulp noise).
 """
 
 from __future__ import annotations
 
+import hashlib
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from elasticsearch_aggregation_geoclustering_spark.extras import (
+    dedup,
+    multimodal,
+    oracles_sql as osql,
+    similarity,
+    textstats,
+)
+from elasticsearch_aggregation_geoclustering_spark.functions import bm25
+from elasticsearch_aggregation_geoclustering_spark.geo.planner import plan_clustering
+from elasticsearch_aggregation_geoclustering_spark.operators.clustering import (
+    clusters_to_dataframe,
+    geo_cell_aggregate,
+    geo_point_clustering,
+)
+from elasticsearch_aggregation_geoclustering_spark.plans.index_build import build_index
+from elasticsearch_aggregation_geoclustering_spark.plans.query import InvertedIndex
+
+# ---------------------------------------------------------------------------
+# shared constants (both the Spark callables and the SQL oracles use these)
+# ---------------------------------------------------------------------------
+
+TERMS_OR = ["spark", "window", "merge"]
+TERMS_AND = ["table", "value", "customer"]
+TOPK = 50
+ANN_K = 20
+NEAR_DUP_COS = 0.4
+JACCARD_K = 1
+JACCARD_THRESHOLD = 0.25
+GEO_ZOOM = 9
+GEO_ZOOM_COARSE = 5
+BBOX = {"lon_min": -20.0, "lon_max": 40.0, "lat_min": 10.0, "lat_max": 60.0}
+DOCS_PER_SEGMENT = 128
+
+_CACHE_ROOT = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".cache", "indexes")
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+
+
+def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def _index_for(spark: SparkSession, sf_dir: str) -> InvertedIndex:
+    """Build (once, resumable) and open the inverted index for an sf dir."""
+    key = hashlib.md5(
+        f"{os.path.realpath(sf_dir)}|{DOCS_PER_SEGMENT}".encode()
+    ).hexdigest()[:16]
+    index_dir = os.path.join(_CACHE_ROOT, key)
+    if not os.path.exists(os.path.join(index_dir, "stats.json")):
+        docs = _docs(spark, sf_dir).select(
+            F.col("doc_id").alias("orig_id"), F.col("text")
+        )
+        build_index(
+            spark,
+            docs,
+            index_dir,
+            content_col="text",
+            key_cols=("orig_id",),
+            docs_per_segment=DOCS_PER_SEGMENT,
+        )
+    return InvertedIndex.open(spark, index_dir)
+
+
+# deterministic synthetic geo assignment over events (mirrors osql.EVENT_*)
+def _event_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    lon = ((F.col("event_id") * F.lit(7919)) % F.lit(36000)) / F.lit(100.0) - F.lit(180.0)
+    lat = ((F.col("event_id") * F.lit(104729)) % F.lit(17000)) / F.lit(100.0) - F.lit(85.0)
+    return ev.select(F.col("event_id"), lon.alias("lon"), lat.alias("lat"))
+
+
+def _bbox_filter(df: DataFrame) -> DataFrame:
+    return df.where(
+        (F.col("lon") >= BBOX["lon_min"])
+        & (F.col("lon") <= BBOX["lon_max"])
+        & (F.col("lat") >= BBOX["lat_min"])
+        & (F.col("lat") <= BBOX["lat_max"])
+    )
+
+
+_PARIS_POINTS = [
+    (1, 2.454929, 48.821578), (2, 2.245858, 48.86914), (3, 2.240358, 48.863481),
+    (4, 2.25292, 48.847176), (5, 2.279111, 48.872383), (6, 2.336267, 48.822021),
+    (7, 2.338677, 48.822672), (8, 2.336643, 48.822493), (9, 2.438465, 48.84204),
+    (10, 2.381554, 48.835382), (11, 2.407744, 48.83733), (12, 2.34521, 48.849358),
+    (13, 2.252938, 48.846041), (14, 2.279715, 48.871775), (15, 2.380629, 48.879757),
+]
+
+
+# ---------------------------------------------------------------------------
+# entry: flagship composition (SURVEY.md §3.1 + §3.2 end to end)
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """BM25 search over the inverted index → matched docs → geo clustering.
+
+    The reference's query-then-aggregate flow
+    (GeoPointClusteringAggregator.java:87-96) on /root/testdata/sf0.001.
+    """
+    sf_dir = "/root/testdata/sf0.001"
+    index = _index_for(spark, sf_dir)
+    topk = index.search(TERMS_OR, k=100)
+    # deterministic geo assignment per matched doc (same formula family as
+    # the events mapping), then the geo_point_clustering aggregation
+    matched = topk.select(
+        F.col("doc_id"),
+        (((F.col("doc_id") * F.lit(7919)) % F.lit(800)) / F.lit(100.0) + F.lit(2.0)).alias("lon"),
+        (((F.col("doc_id") * F.lit(104729)) % F.lit(200)) / F.lit(100.0) + F.lit(48.0)).alias("lat"),
+    )
+    result = geo_point_clustering(matched, zoom=GEO_ZOOM)
+    return clusters_to_dataframe(spark, result)
+
+
+# ---------------------------------------------------------------------------
+# queries: Spark side
+# ---------------------------------------------------------------------------
+
+
+def _q_geo_cell_agg_z9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cells = geo_cell_aggregate(_event_points(spark, sf_dir), zoom=GEO_ZOOM)
+    return cells.select(
+        "cell",
+        "doc_count",
+        F.round("centroid_lat", 6).alias("centroid_lat"),
+        F.round("centroid_lon", 6).alias("centroid_lon"),
+    )
+
+
+def _q_geo_cell_agg_z5_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = _bbox_filter(_event_points(spark, sf_dir))
+    cells = geo_cell_aggregate(pts, zoom=GEO_ZOOM_COARSE)
+    return cells.select(
+        "cell",
+        "doc_count",
+        F.round("centroid_lat", 6).alias("centroid_lat"),
+        F.round("centroid_lon", 6).alias("centroid_lon"),
+    )
+
+
+def _q_geo_hits_total_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = _bbox_filter(_event_points(spark, sf_dir)).count()
+    return spark.createDataFrame([(n,)], "hits long")
+
+
+def _q_geo_clustering_paris(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = spark.createDataFrame(_PARIS_POINTS, "doc_id long, lon double, lat double")
+    result = geo_point_clustering(pts, zoom=GEO_ZOOM)
+    return clusters_to_dataframe(spark, result)
+
+
+def _q_bm25_topk_or(spark: SparkSession, sf_dir: str) -> DataFrame:
+    index = _index_for(spark, sf_dir)
+    topk = index.search(TERMS_OR, k=TOPK, mode="OR")
+    ids = index.docmap().select("doc_id", "orig_id")
+    return (
+        topk.join(ids, on="doc_id")
+        .select(F.col("orig_id").alias("doc_id"), F.round("score", 5).alias("score"))
+    )
+
+
+def _q_bm25_topk_and(spark: SparkSession, sf_dir: str) -> DataFrame:
+    index = _index_for(spark, sf_dir)
+    topk = index.search(TERMS_AND, k=TOPK, mode="AND")
+    ids = index.docmap().select("doc_id", "orig_id")
+    return (
+        topk.join(ids, on="doc_id")
+        .select(F.col("orig_id").alias("doc_id"), F.round("score", 5).alias("score"))
+    )
+
+
+def _q_match_count_or(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = _index_for(spark, sf_dir).match_count(TERMS_OR, mode="OR")
+    return spark.createDataFrame([(n,)], "hits long")
+
+
+def _q_match_count_and(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = _index_for(spark, sf_dir).match_count(TERMS_AND, mode="AND")
+    return spark.createDataFrame([(n,)], "hits long")
+
+
+def _q_term_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    index = _index_for(spark, sf_dir)
+    terms = sorted(set(TERMS_OR + TERMS_AND))
+    return index.term_stats().where(F.col("term").isin(terms)).select("term", "df")
+
+
+def _q_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    index = _index_for(spark, sf_dir)
+    stats_path = os.path.join(index.index_dir, "stats.json")
+    import json
+
+    with open(stats_path) as fh:
+        stats = json.load(fh)
+    return spark.createDataFrame(
+        [(int(stats["n_docs"]), int(stats["total_tokens"]))],
+        "n_docs long, total_tokens long",
+    )
+
+
+def _q_docmap_sha256(spark: SparkSession, sf_dir: str) -> DataFrame:
+    index = _index_for(spark, sf_dir)
+    return index.docmap().select(F.col("orig_id").alias("doc_id"), "sha256")
+
+
+def _q_dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dup_groups(_docs(spark, sf_dir), "text", "doc_id")
+
+
+def _q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_lsh_pairs(_docs(spark, sf_dir), "text", "doc_id")
+
+
+def _q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash(_docs(spark, sf_dir), "text", "doc_id")
+
+
+def _q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(
+        _docs(spark, sf_dir),
+        "text",
+        "doc_id",
+        block_col="lang",
+        shingle_k=JACCARD_K,
+        threshold=JACCARD_THRESHOLD,
+    )
+
+
+def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
+    row = _embeddings(spark, sf_dir).where(F.col("vec_id") == 0).first()
+    return [float(x) for x in row["embedding"]]
+
+
+def _q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _embeddings(spark, sf_dir)
+    qv = _query_vec(spark, sf_dir)
+    topk = similarity.cosine_topk(emb, "vec_id", "embedding", qv, k=ANN_K)
+    return topk.select("vec_id", F.round("cosine", 6).alias("cosine"))
+
+
+def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _embeddings(spark, sf_dir)
+    pairs = similarity.cosine_near_pairs(
+        emb, "vec_id", "embedding", threshold=NEAR_DUP_COS
+    )
+    return pairs.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
+def _q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _embeddings(spark, sf_dir)
+    qv = _query_vec(spark, sf_dir)
+    topk = similarity.rp_lsh_topk(emb, "vec_id", "embedding", qv, k=ANN_K)
+    return topk.select("vec_id", F.round("cosine", 6).alias("cosine"))
+
+
+def _q_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.token_count(_docs(spark, sf_dir), "text", "doc_id")
+
+
+def _q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feats = textstats.quality_features(_docs(spark, sf_dir), "text", "doc_id")
+    return feats.select(
+        "doc_id",
+        "n_chars",
+        "n_tokens",
+        F.round("uniq_token_ratio", 6).alias("uniq_token_ratio"),
+        F.round("mean_token_len", 6).alias("mean_token_len"),
+        F.round("stopword_ratio", 6).alias("stopword_ratio"),
+        F.round("alnum_ratio", 6).alias("alnum_ratio"),
+    )
+
+
+def _q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.lang_id(_docs(spark, sf_dir), "text", "doc_id")
+
+
+def _q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.fingerprint(_docs(spark, sf_dir), "text", "doc_id")
+
+
+def _q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = multimodal.attach_binary_payload(_docs(spark, sf_dir), "text", "doc_id")
+    return multimodal.extract_media_meta(media).select(
+        "doc_id", "media_type", "n_bytes", "sha256"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        # geo clustering operator family (SURVEY.md §2.1)
+        "geo_cell_agg_z9": _q_geo_cell_agg_z9,
+        "geo_cell_agg_z5_bbox": _q_geo_cell_agg_z5_bbox,
+        "geo_hits_total_bbox": _q_geo_hits_total_bbox,
+        "geo_clustering_paris_z9": _q_geo_clustering_paris,  # rows-only (greedy merge)
+        # inverted index + BM25 query engine (SURVEY.md §2.2, north_rule)
+        "bm25_topk_or": _q_bm25_topk_or,
+        "bm25_topk_and": _q_bm25_topk_and,
+        "match_count_or": _q_match_count_or,
+        "match_count_and": _q_match_count_and,
+        "term_df": _q_term_df,
+        "index_stats": _q_index_stats,
+        "docmap_sha256": _q_docmap_sha256,
+        # training-data pipeline: dedup
+        "dedup_exact_groups": _q_dedup_exact_groups,
+        "dedup_minhash_lsh": _q_dedup_minhash_lsh,
+        "dedup_simhash": _q_dedup_simhash,
+        "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
+        # training-data pipeline: similarity search
+        "ann_cosine_topk": _q_ann_cosine_topk,
+        "embedding_near_dup": _q_embedding_near_dup,
+        "ann_lsh_topk": _q_ann_lsh_topk,  # rows-only (LSH probe set)
+        # training-data pipeline: text analysis + multimodal plumbing
+        "text_token_count": _q_text_token_count,
+        "text_quality": _q_text_quality,
+        "text_lang_id": _q_text_lang_id,
+        "text_fingerprint": _q_text_fingerprint,
+        "multimodal_meta": _q_multimodal_meta,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB) — generated from the same constants
+# ---------------------------------------------------------------------------
+
+
+def _geo_cell_agg_sql(zoom: int, bbox: bool) -> str:
+    plan = plan_clustering(zoom)
+    cell = osql.geohash_cell_sql(plan.precision)
+    where = ""
+    if bbox:
+        where = (
+            f"where lon >= {BBOX['lon_min']} and lon <= {BBOX['lon_max']}"
+            f" and lat >= {BBOX['lat_min']} and lat <= {BBOX['lat_max']}"
+        )
+    return f"""
+with pts as (
+  select {osql.EVENT_LON_SQL} as lon, {osql.EVENT_LAT_SQL} as lat from events
+),
+flt as (select * from pts {where})
+select {cell} as cell,
+       count(*)::BIGINT as doc_count,
+       round(avg(lat), 6) as centroid_lat,
+       round(avg(lon), 6) as centroid_lon
+from flt
+group by 1
+"""
+
+
+def _bm25_sql(terms: list[str], mode: str) -> str:
+    ctes = osql.bm25_scores_cte(terms=terms)
+    and_filter = f"where nterms = {len(set(terms))}" if mode == "AND" else ""
+    return f"""
+with {ctes}
+select doc_id, round(score, 5) as score
+from scored {and_filter}
+order by score desc, doc_id asc
+limit {TOPK}
+"""
+
+
+def _match_count_sql(terms: list[str], mode: str) -> str:
+    ctes = osql.bm25_scores_cte(terms=terms)
+    and_filter = f"where nterms = {len(set(terms))}" if mode == "AND" else ""
+    return f"with {ctes} select count(*)::BIGINT as hits from scored {and_filter}"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    toks = osql.tokens_sql("text")
+    terms_all = sorted(set(TERMS_OR + TERMS_AND))
+    term_list = ", ".join(f"'{t}'" for t in terms_all)
+    stops = ", ".join(f"'{w}'" for w in textstats.QUALITY_STOPWORDS)  # noqa: F841
+    return {
+        "geo_cell_agg_z9": _geo_cell_agg_sql(GEO_ZOOM, bbox=False),
+        "geo_cell_agg_z5_bbox": _geo_cell_agg_sql(GEO_ZOOM_COARSE, bbox=True),
+        "geo_hits_total_bbox": f"""
+with pts as (
+  select {osql.EVENT_LON_SQL} as lon, {osql.EVENT_LAT_SQL} as lat from events
+)
+select count(*)::BIGINT as hits from pts
+where lon >= {BBOX['lon_min']} and lon <= {BBOX['lon_max']}
+  and lat >= {BBOX['lat_min']} and lat <= {BBOX['lat_max']}
+""",
+        "bm25_topk_or": _bm25_sql(TERMS_OR, "OR"),
+        "bm25_topk_and": _bm25_sql(TERMS_AND, "AND"),
+        "match_count_or": _match_count_sql(TERMS_OR, "OR"),
+        "match_count_and": _match_count_sql(TERMS_AND, "AND"),
+        "term_df": f"""
+with toks as (select doc_id, unnest({toks}) as term from documents)
+select term, count(distinct doc_id)::BIGINT as df
+from toks where term in ({term_list}) group by term
+""",
+        "index_stats": f"""
+select (select count(*) from documents)::BIGINT as n_docs,
+       (select count(*) from (select unnest({toks}) from documents))::BIGINT as total_tokens
+""",
+        "docmap_sha256": "select doc_id, sha256(text) as sha256 from documents",
+        "dedup_exact_groups": """
+select md5(text) as content_md5, min(doc_id)::BIGINT as keeper_id, count(*)::BIGINT as n_dups
+from documents group by 1
+""",
+        "dedup_minhash_lsh": osql.minhash_lsh_pairs_sql(),
+        "dedup_simhash": osql.simhash_sql(),
+        "dedup_ngram_jaccard": f"""
+with sets as (
+  select doc_id, lang as block, {osql.shingles_sql(toks, JACCARD_K)} as sset
+  from documents
+),
+flt as (select * from sets where len(sset) > 0)
+select l.doc_id as doc_a, r.doc_id as doc_b,
+       len(list_intersect(l.sset, r.sset))::DOUBLE / len(list_distinct(l.sset || r.sset)) as jaccard
+from flt l join flt r on l.block = r.block and l.doc_id < r.doc_id
+where len(list_intersect(l.sset, r.sset))::DOUBLE / len(list_distinct(l.sset || r.sset)) >= {JACCARD_THRESHOLD}
+""",
+        "ann_cosine_topk": f"""
+with q as (select embedding as qv from embeddings where vec_id = 0)
+select vec_id, round({osql.cosine_sql('embedding', 'qv')}, 6) as cosine
+from embeddings cross join q
+order by {osql.cosine_sql('embedding', 'qv')} desc, vec_id asc
+limit {ANN_K}
+""",
+        "embedding_near_dup": f"""
+select a.vec_id as id_a, b.vec_id as id_b,
+       round({osql.cosine_sql('a.embedding', 'b.embedding')}, 6) as cosine
+from embeddings a join embeddings b on a.vec_id < b.vec_id
+where {osql.cosine_sql('a.embedding', 'b.embedding')} >= {NEAR_DUP_COS}
+""",
+        "text_token_count": f"select doc_id, len({toks})::INT as n_tokens from documents",
+        "text_quality": f"""
+with base as ({osql.quality_features_sql()})
+select doc_id, n_chars, n_tokens,
+       round(uniq_token_ratio, 6) as uniq_token_ratio,
+       round(mean_token_len, 6) as mean_token_len,
+       round(stopword_ratio, 6) as stopword_ratio,
+       round(alnum_ratio, 6) as alnum_ratio
+from base
+""",
+        "text_lang_id": osql.lang_id_sql(),
+        "text_fingerprint": f"""
+select doc_id,
+       md5(array_to_string(list_sort(list_distinct({toks})), ' ')) as fp
+from documents
+""",
+        "multimodal_meta": """
+select doc_id, 'blob' as media_type,
+       octet_length(text::BLOB)::BIGINT as n_bytes,
+       sha256(text) as sha256
+from documents
+""",
+    }

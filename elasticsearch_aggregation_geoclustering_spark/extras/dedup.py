@@ -1,0 +1,345 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+These extend the engine beyond the reference plugin's surface (SURVEY.md §2.3
+notes the reference has none of these) with the dedup family a 100 TB corpus
+pipeline needs: exact, MinHash+LSH, SimHash, and n-gram Jaccard.  Everything
+stays JVM-side (built-in ``pyspark.sql.functions`` column expressions, no
+Python UDFs) so the hot path is whole-stage-codegen'd; every op is a pure
+DataFrame transform whose only shuffles are the keyed groupBys/joins noted in
+each docstring.
+
+Determinism: all hashes derive from ``md5`` of the value (identical across
+Spark, DuckDB and Python), and the MinHash permutations are fixed integer
+``(a, b)`` pairs from a seeded generator — so the DuckDB oracle in
+``__spark_entry__.py`` reproduces every output bit-for-bit.
+
+Scale notes (1000-executor / 100 TB framing):
+
+* exact dedup: one shuffle keyed by a 128-bit content hash — uniformly
+  distributed by construction, no skew possible.
+* MinHash signatures: per-row map work only (no shuffle); the LSH
+  candidate-pair join shuffles on ``(band, band_key)`` — band keys are md5s,
+  uniform unless true duplicate clusters exist, which is exactly the data
+  reduction we want.  Giant duplicate clusters are capped by
+  ``max_bucket_size`` to avoid quadratic pair blow-up on degenerate buckets.
+* SimHash: per-row map + one groupBy(doc) — the 60 per-bit counters are
+  computed as 60 aggregate expressions in ONE HashAggregate pass, not a
+  60-way row explosion.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.tokenizer import tokenize_column
+
+#: modulus for the MinHash universal-hash family: fits (a*(h%P)+b) in int64
+MINHASH_PRIME = 1_000_000_007
+
+#: simhash width: 60 bits (from 15 hex chars of md5 — sign-safe in int64)
+SIMHASH_BITS = 60
+
+DEFAULT_NUM_HASHES = 16
+DEFAULT_BANDS = 4
+DEFAULT_SHINGLE_K = 3
+
+
+def minhash_coefficients(num_hashes: int = DEFAULT_NUM_HASHES, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for the universal hash family.
+
+    a in [1, P), b in [0, P); the same list parameterizes the SQL oracle.
+    """
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, MINHASH_PRIME, size=num_hashes, dtype=np.int64)
+    b = rng.integers(0, MINHASH_PRIME, size=num_hashes, dtype=np.int64)
+    return list(zip(a.tolist(), b.tolist()))
+
+
+def md5_long(col: Column) -> Column:
+    """First 60 bits of md5(value) as a non-negative long (JVM-side).
+
+    15 hex chars → < 2^60, so arithmetic on it never overflows int64 after a
+    ``% MINHASH_PRIME`` reduction.  Identical to DuckDB's
+    ``('0x' || substr(md5(x), 1, 15))::BIGINT``.
+    """
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast("long")
+
+
+def word_shingles(tokens: Column, k: int = DEFAULT_SHINGLE_K) -> Column:
+    """Distinct k-word shingles of a token array (JVM-side, no UDF)."""
+    if k == 1:
+        return F.array_distinct(tokens)
+    joined = F.transform(
+        F.sequence(F.lit(1), F.size(tokens) - F.lit(k - 1)),
+        lambda i: F.concat_ws(" ", *[F.element_at(tokens, i + F.lit(j)) for j in range(k)]),
+    )
+    # sequence(1, n) with n < 1 would count DOWN in Spark; guard explicitly
+    return F.when(F.size(tokens) >= k, F.array_distinct(joined)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def exact_dup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact dedup: one row per distinct content hash.
+
+    Returns ``(content_md5, keeper_id, n_dups)`` where ``keeper_id`` is the
+    smallest id in the group.  One shuffle keyed by md5 (uniform, no skew).
+    """
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("content_md5"))
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+    )
+
+
+def dedup_exact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep exactly one row (min id) per distinct content. Two-shuffle plan:
+    hash-agg for keepers, then a broadcast-able semi-join back to the rows."""
+    keepers = exact_dup_groups(df, text_col, id_col).select(
+        F.col("keeper_id").alias(id_col)
+    )
+    return df.join(keepers, on=id_col, how="left_semi")
+
+
+def _shingle_hashes(df: DataFrame, text_col: str, id_col: str, shingle_k: int) -> DataFrame:
+    toks = tokenize_column(F.col(text_col))
+    shingles = word_shingles(toks, shingle_k)
+    hashes = F.transform(shingles, lambda s: md5_long(s))
+    return df.select(F.col(id_col).alias("doc_id"), hashes.alias("hashes")).where(
+        F.size("hashes") > 0
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    shingle_k: int = DEFAULT_SHINGLE_K,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-document MinHash signature: ``(doc_id, sig: array<long>)``.
+
+    Pure map work — tokenize, shingle, hash and 16 array_mins all inside one
+    whole-stage-codegen'd projection; zero shuffles.  Docs with no shingle
+    (fewer than ``shingle_k`` tokens) are dropped, matching the oracle.
+    """
+    coeffs = minhash_coefficients(num_hashes, seed)
+    base = _shingle_hashes(df, text_col, id_col, shingle_k)
+
+    def _perm(a: int, b: int):
+        return lambda h: (F.lit(a) * (h % F.lit(MINHASH_PRIME)) + F.lit(b)) % F.lit(
+            MINHASH_PRIME
+        )
+
+    sig = F.array(
+        *[F.array_min(F.transform(F.col("hashes"), _perm(a, b))) for a, b in coeffs]
+    )
+    return base.select("doc_id", sig.alias("sig"))
+
+
+def lsh_bands(
+    sig_df: DataFrame, *, bands: int = DEFAULT_BANDS, num_hashes: int = DEFAULT_NUM_HASHES
+) -> DataFrame:
+    """Explode signatures into ``(band, band_key, doc_id)`` bucket rows.
+
+    band_key = md5 of the band's slice of the signature — uniform across
+    non-duplicate docs, so the downstream join shuffles evenly.
+    """
+    rows_per_band = num_hashes // bands
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.element_at(F.col("sig"), bi * rows_per_band + j + 1).cast("string")
+                            for j in range(rows_per_band)
+                        ],
+                    )
+                ).alias("band_key"),
+            )
+            for bi in range(bands)
+        ]
+    )
+    return sig_df.select("doc_id", F.explode(band_structs).alias("bk")).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+    shingle_k: int = DEFAULT_SHINGLE_K,
+    seed: int = 42,
+    max_bucket_size: int | None = 1000,
+) -> DataFrame:
+    """Candidate near-duplicate pairs ``(doc_a, doc_b)``, doc_a < doc_b.
+
+    Plan: signature map → band explode → self-equi-join on (band, band_key)
+    → distinct.  The join shuffles on uniform md5 band keys; buckets larger
+    than ``max_bucket_size`` (degenerate mass-duplicate clusters) are dropped
+    to bound the quadratic pair expansion — at 100 TB a single 1M-copy
+    boilerplate file must not produce 10^12 pairs.
+    """
+    sigs = minhash_signatures(
+        df, text_col, id_col, num_hashes=num_hashes, shingle_k=shingle_k, seed=seed
+    )
+    buckets = lsh_bands(sigs, bands=bands, num_hashes=num_hashes)
+    if max_bucket_size is not None:
+        sizes = buckets.groupBy("band", "band_key").agg(F.count(F.lit(1)).alias("_n"))
+        buckets = buckets.join(
+            sizes.where(F.col("_n") <= max_bucket_size).drop("_n"),
+            on=["band", "band_key"],
+            how="left_semi",
+        )
+    left = buckets.alias("l")
+    right = buckets.alias("r")
+    return (
+        left.join(
+            right,
+            on=[
+                F.col("l.band") == F.col("r.band"),
+                F.col("l.band_key") == F.col("r.band_key"),
+                F.col("l.doc_id") < F.col("r.doc_id"),
+            ],
+        )
+        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """60-bit SimHash per document: ``(doc_id, simhash: long)``.
+
+    Token hash = md5-derived 60-bit int over DISTINCT tokens; bit b of the
+    fingerprint is 1 iff more token hashes have bit b set than clear.
+    The 60 per-bit counters are 60 independent agg expressions over the
+    exploded (doc, token-hash) rows — one shuffle keyed by doc_id, no
+    row-per-bit explosion.
+    """
+    toks = tokenize_column(F.col(text_col))
+    hashed = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(toks)).alias("tok"),
+    ).select("doc_id", md5_long(F.col("tok")).alias("hv"))
+    bit_sums = [
+        F.sum(
+            (F.shiftright(F.col("hv"), b).bitwiseAND(F.lit(1)) * F.lit(2) - F.lit(1))
+        ).alias(f"b{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    agg = hashed.groupBy("doc_id").agg(*bit_sums)
+    fingerprint = None
+    for b in range(SIMHASH_BITS):
+        term = F.when(F.col(f"b{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+        fingerprint = term if fingerprint is None else fingerprint + term
+    return agg.select("doc_id", fingerprint.alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    max_hamming: int = 3,
+    bands: int = 5,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: ``(doc_a, doc_b, hamming)``.
+
+    Pigeonhole banding: split the 60 bits into ``bands`` chunks; any pair
+    within ``max_hamming < bands`` must agree exactly on ≥1 chunk, so the
+    candidate join is an equi-join on (chunk index, chunk value) — no cross
+    join.  Hamming distance is a JVM ``bit_count(xor)`` on the candidates.
+    """
+    width = SIMHASH_BITS // bands
+    mask = (1 << width) - 1
+    sh = simhash(df, text_col, id_col)
+    chunks = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk"),
+                        F.shiftright(F.col("simhash"), i * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("val"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("c"),
+    ).select("doc_id", "simhash", "c.chunk", "c.val")
+    l, r = chunks.alias("l"), chunks.alias("r")
+    cand = (
+        l.join(
+            r,
+            on=[
+                F.col("l.chunk") == F.col("r.chunk"),
+                F.col("l.val") == F.col("r.val"),
+                F.col("l.doc_id") < F.col("r.doc_id"),
+            ],
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+    )
+    return cand.where(F.col("hamming") <= max_hamming)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    block_col: str,
+    shingle_k: int = 1,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """Blocked pairwise n-gram Jaccard: ``(doc_a, doc_b, jaccard)``.
+
+    Pairs are generated only WITHIN ``block_col`` groups (a blocking key —
+    e.g. language, length bucket, or an LSH band for the true scale path), so
+    the join is an equi-join on the block, never a global cross join.
+    jaccard = |A∩B| / |A∪B| over distinct shingle sets — an exact rational on
+    both engines, so it hash-matches the DuckDB oracle without rounding.
+    """
+    toks = tokenize_column(F.col(text_col))
+    sets = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(block_col).alias("block"),
+        word_shingles(toks, shingle_k).alias("sset"),
+    ).where(F.size("sset") > 0)
+    l, r = sets.alias("l"), sets.alias("r")
+    inter = F.size(F.array_intersect(F.col("l.sset"), F.col("r.sset")))
+    union = F.size(F.array_union(F.col("l.sset"), F.col("r.sset")))
+    return (
+        l.join(
+            r,
+            on=[F.col("l.block") == F.col("r.block"), F.col("l.doc_id") < F.col("r.doc_id")],
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+            (inter.cast("double") / union.cast("double")).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )

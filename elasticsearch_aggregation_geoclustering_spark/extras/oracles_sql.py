@@ -1,0 +1,256 @@
+"""DuckDB oracle SQL builders mirroring each Spark operator bit-for-bit.
+
+Shared by ``__spark_entry__.py`` (the driver's correctness gate) and the test
+suite.  Every builder returns a single ANSI-ish SQL string runnable by DuckDB
+against the pre-registered parquet views (documents, events, embeddings, ...),
+parameterized by the SAME Python constants the Spark operators use — so the
+two sides cannot drift independently.
+"""
+
+from __future__ import annotations
+
+from . import dedup
+from .textstats import LANG_STOPWORDS, QUALITY_STOPWORDS
+
+# --- tokenizer (functions/tokenizer.py spec) --------------------------------
+
+TOKENS_SQL = "list_filter(string_split_regex(lower({text}), '[^a-z0-9_]+'), t -> t <> '')"
+
+
+def tokens_sql(text: str = "text") -> str:
+    return TOKENS_SQL.format(text=text)
+
+
+# --- geohash long_encode (geo/geohash.py, validated vs numpy impl) ----------
+
+_SPREAD_STEPS = [
+    (16, 281470681808895),       # 0x0000FFFF0000FFFF
+    (8, 71777214294589695),      # 0x00FF00FF00FF00FF
+    (4, 1085102592571150095),    # 0x0F0F0F0F0F0F0F0F
+    (2, 3689348814741910323),    # 0x3333333333333333
+    (1, 6148914691236517205),    # 0x5555555555555555
+]
+
+
+def _spread_bits_sql(col: str) -> str:
+    """The 5-step magic-mask bit spread; << via *2^n (DuckDB's << overflow-
+    checks UBIGINT shifts, multiplication does not lose bits here because
+    every step is pre-masked)."""
+    s = f"({col})::UBIGINT"
+    for sh, mask in _SPREAD_STEPS:
+        s = f"(({s} | ({s} * {1 << sh}::UBIGINT)) & {mask}::UBIGINT)"
+    return s
+
+
+def geohash_cell_sql(precision: int, lon_expr: str = "lon", lat_expr: str = "lat") -> str:
+    """ES Geohash.longEncode(lon, lat, precision) as a DuckDB expression.
+
+    Valid for precision ≤ 11 (precision 12 sets bit 63; not needed here).
+    Mirrors geo/geohash.py exactly: Lucene axis quantization (with the +edge
+    stepped down one ulp), sign-flip to unsigned order, morton interleave
+    (lon on odd bits), keep top 5*precision bits, pack precision low.
+    """
+    if not 1 <= precision <= 11:
+        raise ValueError("oracle SQL supports precision 1..11")
+    lon_e = (
+        f"((xor(floor(least({lon_expr}, 179.99999999999997) / (360.0/4294967296.0))::BIGINT,"
+        f" 2147483648)) & 4294967295)::UBIGINT"
+    )
+    lat_e = (
+        f"((xor(floor(least({lat_expr}, 89.99999999999999) / (180.0/4294967296.0))::BIGINT,"
+        f" 2147483648)) & 4294967295)::UBIGINT"
+    )
+    morton = f"({_spread_bits_sql(lat_e)} | ({_spread_bits_sql(lon_e)} * 2::UBIGINT))"
+    shift = 4 + 5 * (12 - precision)
+    return f"((({morton} >> {shift}::UBIGINT) * 16::UBIGINT) | {precision}::UBIGINT)::BIGINT"
+
+
+# --- deterministic synthetic geo assignment over the events table -----------
+
+EVENT_LON_SQL = "((event_id * 7919) % 36000) / 100.0 - 180.0"
+EVENT_LAT_SQL = "((event_id * 104729) % 17000) / 100.0 - 85.0"
+
+
+# --- md5-derived 60-bit hash (extras/dedup.py::md5_long) --------------------
+
+
+def md5_long_sql(expr: str) -> str:
+    return f"('0x' || substr(md5(({expr})::VARCHAR), 1, 15))::BIGINT"
+
+
+def shingles_sql(toks: str, k: int) -> str:
+    """Distinct k-word shingles of a token list (dedup.word_shingles)."""
+    if k == 1:
+        return f"list_distinct({toks})"
+    parts = ", ".join([f"({toks})[i + {j}]" for j in range(k)])
+    return (
+        f"list_distinct(list_transform(range(1, greatest(len({toks}) - {k - 2}, 1)),"
+        f" i -> concat_ws(' ', {parts})))"
+    )
+
+
+def minhash_signature_sql(
+    text: str = "text",
+    *,
+    num_hashes: int = dedup.DEFAULT_NUM_HASHES,
+    shingle_k: int = dedup.DEFAULT_SHINGLE_K,
+    seed: int = 42,
+) -> str:
+    """SELECT-list fragment: the signature as a LIST(BIGINT) named sig,
+    assuming a column ``hashes`` (list of md5_long shingle hashes) exists."""
+    coeffs = dedup.minhash_coefficients(num_hashes, seed)
+    p = dedup.MINHASH_PRIME
+    mins = ", ".join(
+        f"list_min(list_transform(hashes, h -> ({a} * (h % {p}) + {b}) % {p}))" for a, b in coeffs
+    )
+    return f"[{mins}]"
+
+
+def minhash_hashes_cte(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text: str = "text",
+    *,
+    shingle_k: int = dedup.DEFAULT_SHINGLE_K,
+) -> str:
+    toks = tokens_sql(text)
+    sh = shingles_sql(toks, shingle_k)
+    return (
+        f"select {id_col} as doc_id,"
+        f" list_transform({sh}, s -> {md5_long_sql('s')}) as hashes"
+        f" from {table}"
+    )
+
+
+def minhash_lsh_pairs_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text: str = "text",
+    *,
+    num_hashes: int = dedup.DEFAULT_NUM_HASHES,
+    bands: int = dedup.DEFAULT_BANDS,
+    shingle_k: int = dedup.DEFAULT_SHINGLE_K,
+    seed: int = 42,
+) -> str:
+    rows_per_band = num_hashes // bands
+    sig = minhash_signature_sql(text, num_hashes=num_hashes, shingle_k=shingle_k, seed=seed)
+    band_rows = " union all ".join(
+        "select doc_id, {bi} as band, md5(concat_ws(',', {parts})) as band_key from sigs".format(
+            bi=bi,
+            parts=", ".join(
+                f"sig[{bi * rows_per_band + j + 1}]::VARCHAR" for j in range(rows_per_band)
+            ),
+        )
+        for bi in range(bands)
+    )
+    return f"""
+with hashes_t as ({minhash_hashes_cte(table, id_col, text, shingle_k=shingle_k)}),
+sigs as (select doc_id, {sig} as sig from hashes_t where len(hashes) > 0),
+bands_t as ({band_rows})
+select distinct l.doc_id as doc_a, r.doc_id as doc_b
+from bands_t l join bands_t r
+  on l.band = r.band and l.band_key = r.band_key and l.doc_id < r.doc_id
+"""
+
+
+def simhash_sql(table: str = "documents", id_col: str = "doc_id", text: str = "text") -> str:
+    toks = tokens_sql(text)
+    bits = dedup.SIMHASH_BITS
+    return f"""
+with toks as (
+  select {id_col} as doc_id, unnest(list_distinct({toks})) as tok from {table}
+),
+h as (select doc_id, {md5_long_sql('tok')} as hv from toks),
+bitsum as (
+  select doc_id, b, sum(case when (hv >> b) & 1 = 1 then 1 else -1 end) as s
+  from h, (select unnest(range(0, {bits})) as b) bpos
+  group by doc_id, b
+)
+select doc_id, sum(case when s > 0 then (1::BIGINT << b) else 0 end)::BIGINT as simhash
+from bitsum group by doc_id
+"""
+
+
+def bm25_scores_cte(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text: str = "text",
+    *,
+    terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> str:
+    """CTE chain computing per-doc BM25 scores for ``terms`` (OR semantics),
+    exposing ``scored(doc_id, score, nterms)``.  Mirrors functions/bm25.py:
+    idf = ln(1+(N-df+0.5)/(df+0.5)), w = tf/(tf + k1*(1-b+b*dl/avgdl)),
+    N counts ALL docs, avgdl = total tokens / N."""
+    toks = tokens_sql(text)
+    term_list = ", ".join("'" + t.replace("'", "''") + "'" for t in sorted(set(terms)))
+    return f"""
+toks as (
+  select {id_col} as doc_id, unnest({toks}) as term from {table}
+),
+dl as (select doc_id, count(*)::BIGINT as dl from toks group by doc_id),
+stats as (
+  select (select count(*) from {table})::BIGINT as n,
+         (select count(*) from toks)::DOUBLE / (select count(*) from {table}) as avgdl
+),
+tf as (
+  select doc_id, term, count(*)::BIGINT as tf from toks
+  where term in ({term_list}) group by doc_id, term
+),
+dfreq as (select term, count(*)::BIGINT as df from tf group by term),
+contrib as (
+  select tf.doc_id,
+         ln(1.0 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * (tf.tf::DOUBLE / (tf.tf::DOUBLE + {k1} * (1.0 - {b} + {b} * dl.dl::DOUBLE / stats.avgdl)))
+           as w
+  from tf join dfreq using (term) join dl using (doc_id) cross join stats
+),
+scored as (
+  select doc_id, sum(w)::DOUBLE as score, count(*)::BIGINT as nterms
+  from contrib group by doc_id
+)"""
+
+
+def lang_id_sql(table: str = "documents", id_col: str = "doc_id", text: str = "text") -> str:
+    toks = tokens_sql(text)
+    langs = sorted(LANG_STOPWORDS)
+    score_cols = []
+    for lang in langs:
+        words = ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang])
+        score_cols.append(f"len(list_filter(toks, t -> t in ({words}))) as s_{lang}")
+    best = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    guess = "'und'"
+    for lang in reversed(langs):
+        guess = f"case when best > 0 and s_{lang} = best then '{lang}' else {guess} end"
+    return f"""
+with t as (select {id_col} as doc_id, {toks} as toks from {table}),
+s as (select doc_id, {', '.join(score_cols)} from t),
+g as (select doc_id, {best} as best, * exclude (doc_id) from s)
+select doc_id, {guess} as lang_guess from g
+"""
+
+
+def quality_features_sql(table: str = "documents", id_col: str = "doc_id", text: str = "text") -> str:
+    toks = tokens_sql(text)
+    stops = ", ".join(f"'{w}'" for w in QUALITY_STOPWORDS)
+    return f"""
+with t as (select {id_col} as doc_id, {text} as txt, {toks} as toks from {table})
+select doc_id,
+  length(txt)::BIGINT as n_chars,
+  len(toks)::BIGINT as n_tokens,
+  case when len(toks) > 0 then len(list_distinct(toks))::DOUBLE / len(toks) else 0.0 end as uniq_token_ratio,
+  case when len(toks) > 0 then list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks) else 0.0 end as mean_token_len,
+  case when len(toks) > 0 then len(list_filter(toks, x -> x in ({stops})))::DOUBLE / len(toks) else 0.0 end as stopword_ratio,
+  case when length(txt) > 0 then length(regexp_replace(lower(txt), '[^a-z0-9]', '', 'g'))::DOUBLE / length(txt) else 0.0 end as alnum_ratio
+from t
+"""
+
+
+def cosine_sql(vec_a: str, vec_b: str) -> str:
+    """cosine(a, b) with float64 accumulation (matches similarity._dot)."""
+    dot = f"list_sum(list_transform(range(1, len({vec_a}) + 1), i -> ({vec_a})[i]::DOUBLE * ({vec_b})[i]::DOUBLE))"
+    na = f"sqrt(list_sum(list_transform({vec_a}, x -> x::DOUBLE * x::DOUBLE)))"
+    nb = f"sqrt(list_sum(list_transform({vec_b}, x -> x::DOUBLE * x::DOUBLE)))"
+    return f"({dot}) / (({na}) * ({nb}))"

@@ -1,0 +1,155 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Baseline: exact brute-force cosine top-k — a single whole-stage-codegen'd
+projection (``zip_with`` dot product) plus ``TakeOrderedAndProject``; no
+shuffle other than the final top-k reduction.  Scale path: random-hyperplane
+LSH — per-row signature map, then candidates restricted to nearby buckets, so
+a 10^9-vector corpus only scores the probed buckets instead of everything.
+
+All float accumulation is float64 regardless of the (float32) storage type,
+matching the DuckDB oracle's ::DOUBLE arithmetic.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine_to_query(vec: Column, query_vec: list[float]) -> Column:
+    """Cosine(vec, query) as a pure JVM column expression."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    qnorm = float(np.sqrt((q * q).sum()))
+    qcol = F.array(*[F.lit(float(v)) for v in q])
+    norm = F.sqrt(_dot(vec, vec))
+    return _dot(vec, qcol) / (norm * F.lit(qnorm))
+
+
+def cosine_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_vec: list[float],
+    k: int = 10,
+) -> DataFrame:
+    """Exact brute-force cosine top-k: ``(id, cosine)``, k rows.
+
+    Plan: scan → projection (dot products, codegen) → TakeOrderedAndProject.
+    The scan reads only (id, vec) — column pruning does the rest.  Ties break
+    by id ascending (deterministic).
+    """
+    scored = df.select(
+        F.col(id_col),
+        cosine_to_query(F.col(vec_col), query_vec).alias("cosine"),
+    )
+    return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
+
+
+def cosine_near_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    threshold: float = 0.95,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Embedding near-duplicate pairs ``(id_a, id_b, cosine)``, a < b.
+
+    With ``block_col`` the join is an equi-join within blocks (the scale
+    path: use an LSH bucket as the block); without it this is a cross join —
+    only for small/test inputs.
+    """
+    base = df.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vec"),
+        *( [F.col(block_col).alias("block")] if block_col else [] ),
+    )
+    l, r = base.alias("l"), base.alias("r")
+    conds = [F.col("l.vid") < F.col("r.vid")]
+    if block_col:
+        conds.append(F.col("l.block") == F.col("r.block"))
+    cos = _dot(F.col("l.vec"), F.col("r.vec")) / (
+        F.sqrt(_dot(F.col("l.vec"), F.col("l.vec")))
+        * F.sqrt(_dot(F.col("r.vec"), F.col("r.vec")))
+    )
+    return (
+        l.join(r, on=conds)
+        .select(
+            F.col("l.vid").alias("id_a"),
+            F.col("r.vid").alias("id_b"),
+            cos.alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
+
+
+# --- random-hyperplane LSH (scale path) -----------------------------------
+
+
+def rp_planes(dim: int, n_planes: int = 16, seed: int = 42) -> np.ndarray:
+    """Deterministic random hyperplanes, shape (n_planes, dim)."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).astype(np.float64)
+
+
+def rp_signature_column(vec: Column, planes: np.ndarray) -> Column:
+    """Sign-bit LSH signature as a long, via an Arrow-vectorized pandas UDF.
+
+    The matrix product (batch × dim) @ (dim × planes) runs in numpy per Arrow
+    batch — per-row Python never touches a vector.
+    """
+    planes_t = planes.T.copy()
+
+    @F.pandas_udf(LongType())
+    def _sig(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series(np.empty(0, dtype=np.int64))
+        mat = np.array(vs.tolist(), dtype=np.float64)
+        bits = (mat @ planes_t) > 0
+        weights = (1 << np.arange(planes_t.shape[1], dtype=np.int64))
+        return pd.Series(bits.astype(np.int64) @ weights)
+
+    return _sig(vec)
+
+
+def rp_lsh_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_vec: list[float],
+    k: int = 10,
+    *,
+    n_planes: int = 16,
+    seed: int = 42,
+    max_probe_hamming: int = 2,
+) -> DataFrame:
+    """Approximate cosine top-k: score only vectors whose LSH bucket is
+    within ``max_probe_hamming`` bits of the query's bucket.
+
+    At scale the bucket filter prunes the scan to ~C(n_planes, probe)/2^n of
+    the corpus; recall rises with probe distance (exactness is recovered at
+    ``max_probe_hamming = n_planes``).
+    """
+    q = np.asarray(query_vec, dtype=np.float64)
+    planes = rp_planes(len(q), n_planes, seed)
+    qsig = int(((planes @ q) > 0).astype(np.int64) @ (1 << np.arange(n_planes, dtype=np.int64)))
+    sigs = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        rp_signature_column(F.col(vec_col), planes).alias("_sig"),
+    )
+    probed = sigs.where(
+        F.bit_count(F.col("_sig").bitwiseXOR(F.lit(qsig))) <= max_probe_hamming
+    )
+    return cosine_topk(probed, id_col, vec_col, query_vec, k)

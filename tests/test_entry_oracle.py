@@ -1,0 +1,98 @@
+"""Driver-contract rehearsal: every __spark_entry__ query vs its DuckDB oracle.
+
+Mirrors the driver's CORRECTNESS gate: run the Spark callable and the oracle
+SQL on the same sf dir and require identical row multisets (column order
+normalized by name).  Queries without an oracle get a rows-only smoke check.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        path = os.path.join(SF_DIR, f"{t}.parquet")
+        if os.path.exists(path):
+            con.execute(f"create view {t} as select * from read_parquet('{path}')")
+    return con
+
+
+def _norm(v):
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return bool(v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return float(v)
+    try:  # Decimal and numpy scalars
+        import decimal
+
+        if isinstance(v, decimal.Decimal):
+            return float(v)
+    except ImportError:
+        pass
+    if isinstance(v, (list, tuple)):
+        return tuple(_norm(x) for x in v)
+    if hasattr(v, "item"):
+        return _norm(v.item())
+    return v
+
+
+def _multiset(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = {}
+    for row in rows:
+        key = tuple(_norm(row[i]) for i in order)
+        out[key] = out.get(key, 0) + 1
+    return out
+
+
+@pytest.mark.parametrize("name", sorted(entry_mod.queries()))
+def test_query_matches_oracle(spark, duck, name):
+    q = entry_mod.queries()[name]
+    sdf = q(spark, SF_DIR)
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+    oracles = entry_mod.oracle_sql()
+    if name not in oracles:
+        assert len(srows) >= 0  # rows-only smoke: ran and has a stable schema
+        assert len(scols) > 0
+        return
+    res = duck.execute(oracles[name])
+    dcols = [d[0] for d in res.description]
+    drows = res.fetchall()
+    assert sorted(scols) == sorted(dcols), f"{name}: column sets differ"
+    sm, dm = _multiset(srows, scols), _multiset(drows, dcols)
+    if sm != dm:
+        only_s = {k: v for k, v in sm.items() if dm.get(k) != v}
+        only_d = {k: v for k, v in dm.items() if sm.get(k) != v}
+        raise AssertionError(
+            f"{name}: value mismatch; spark-only={list(only_s.items())[:3]} "
+            f"duck-only={list(only_d.items())[:3]} (spark {len(srows)} rows, duck {len(drows)} rows)"
+        )
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    assert df.count() >= 0
+    assert len(df.columns) > 0
