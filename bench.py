@@ -1,0 +1,159 @@
+#!/usr/bin/env python
+"""Headline benchmark suite — one JSON line on stdout.
+
+Runs the engine's flagship operators at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints::
+
+    {"metric": "suite_wall_sec", "value": N, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": 0.1, "extra": {...}}
+
+Query set: inverted-index build (throughput headline, files/sec), BM25 top-k
+(latency headline over a query batch), match counts, geo_point_clustering over
+100k derived points, the dedup family, ANN top-k, and text quality — the
+SURVEY.md §2 inventory exercised end to end.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+from elasticsearch_aggregation_geoclustering_spark.extras import dedup, similarity, textstats
+from elasticsearch_aggregation_geoclustering_spark.operators.clustering import (
+    geo_point_clustering,
+)
+from elasticsearch_aggregation_geoclustering_spark.plans.index_build import build_index
+from elasticsearch_aggregation_geoclustering_spark.plans.query import InvertedIndex
+
+BM25_QUERY_BATCH = [
+    ["spark", "window", "merge"],
+    ["table", "value", "customer"],
+    ["join", "hash"],
+    ["scan", "filter", "row"],
+    ["vector", "stream"],
+    ["agg", "group", "key"],
+    ["batch", "order", "column"],
+    ["big", "small", "fast", "slow"],
+    ["query", "line"],
+    ["sort", "data", "part"],
+]
+
+
+def _session(cpus: str) -> SparkSession:
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("geoclustering-spark-bench")
+        .config("spark.sql.shuffle.partitions", str(max(int(cpus), 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "16g")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = -1.0
+    spark = _session(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    events = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    n_docs = docs.count()
+
+    timings: dict[str, float] = {}
+    extra: dict[str, float] = {}
+    index_dir = tempfile.mkdtemp(prefix="bench_idx_")
+
+    def timed(name: str, fn) -> None:
+        t0 = time.perf_counter()
+        fn()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    # 1) index build throughput (the north_rule headline)
+    def _build():
+        build_index(
+            spark,
+            docs.select(F.col("doc_id").alias("orig_id"), "text"),
+            index_dir,
+            content_col="text",
+            key_cols=("orig_id",),
+            docs_per_segment=max(256, n_docs // (4 * int(cpus))),
+            resume=False,
+        )
+
+    timed("index_build", _build)
+    extra["index_files_per_sec"] = round(n_docs / timings["index_build"], 2)
+
+    index = InvertedIndex.open(spark, index_dir)
+
+    # 2) BM25 top-k latency over a query batch (p95 headline)
+    lat = []
+    t0 = time.perf_counter()
+    for terms in BM25_QUERY_BATCH:
+        tq = time.perf_counter()
+        index.search(terms, k=10).collect()
+        lat.append(time.perf_counter() - tq)
+    timings["bm25_topk_batch"] = round(time.perf_counter() - t0, 4)
+    extra["bm25_p95_sec"] = round(sorted(lat)[max(0, int(len(lat) * 0.95) - 1)], 4)
+    extra["bm25_mean_sec"] = round(sum(lat) / len(lat), 4)
+
+    timed("match_count_and", lambda: index.match_count(["table", "value", "customer"], "AND"))
+
+    # 3) geo_point_clustering over derived points (full operator incl merge)
+    pts = events.select(
+        (((F.col("event_id") * 7919) % 36000) / 100.0 - 180.0).alias("lon"),
+        (((F.col("event_id") * 104729) % 17000) / 100.0 - 85.0).alias("lat"),
+    )
+    timed("geo_cluster_z9", lambda: geo_point_clustering(pts, zoom=9))
+    timed("geo_cluster_z5", lambda: geo_point_clustering(pts, zoom=5, ratio=1.2))
+
+    # 4) dedup family
+    timed("dedup_exact", lambda: dedup.exact_dup_groups(docs, "text", "doc_id").count())
+    timed("dedup_minhash_lsh", lambda: dedup.minhash_lsh_pairs(docs, "text", "doc_id").count())
+    timed("dedup_simhash", lambda: dedup.simhash(docs, "text", "doc_id").count())
+
+    # 5) similarity search
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    timed("ann_cosine_topk", lambda: similarity.cosine_topk(emb, "vec_id", "embedding", qv, 10).collect())
+    timed("ann_lsh_topk", lambda: similarity.rp_lsh_topk(emb, "vec_id", "embedding", qv, 10).collect())
+
+    # 6) text analysis
+    timed("text_quality", lambda: textstats.quality_features(docs, "text", "doc_id").count())
+    timed("text_lang_id", lambda: textstats.lang_id(docs, "text", "doc_id").count())
+
+    shutil.rmtree(index_dir, ignore_errors=True)
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "suite_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "extra": extra,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -68,17 +68,25 @@ def md5_long(col: Column) -> Column:
 
 
 def word_shingles(tokens: Column, k: int = DEFAULT_SHINGLE_K) -> Column:
-    """Distinct k-word shingles of a token array (JVM-side, no UDF)."""
+    """Distinct k-word shingles of a token array (JVM-side, no UDF).
+
+    Built by zipping the array with its own shifted slices rather than
+    indexing the array inside a lambda: an outer-column reference inside a
+    higher-order-function lambda is re-evaluated PER ELEMENT by Spark (the
+    whole upstream tokenize expression would run once per shingle), whereas
+    ``slice``/``zip_with`` evaluate their inputs once per row.
+    """
     if k == 1:
         return F.array_distinct(tokens)
-    joined = F.transform(
-        F.sequence(F.lit(1), F.size(tokens) - F.lit(k - 1)),
-        lambda i: F.concat_ws(" ", *[F.element_at(tokens, i + F.lit(j)) for j in range(k)]),
-    )
-    # sequence(1, n) with n < 1 would count DOWN in Spark; guard explicitly
-    return F.when(F.size(tokens) >= k, F.array_distinct(joined)).otherwise(
-        F.array().cast("array<string>")
-    )
+    big = F.lit(2_000_000_000)
+    joined = tokens
+    for j in range(1, k):
+        shifted = F.slice(tokens, j + 1, big)
+        joined = F.zip_with(joined, shifted, lambda a, b: F.concat_ws(" ", a, b))
+    # zip_with pads the shorter side with null -> concat_ws skipped nothing,
+    # so the trailing (k-1) entries are partial shingles: cut them off
+    joined = F.slice(joined, 1, F.greatest(F.size(tokens) - F.lit(k - 1), F.lit(0)))
+    return F.array_distinct(joined)
 
 
 def exact_dup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -132,13 +140,21 @@ def minhash_signatures(
     coeffs = minhash_coefficients(num_hashes, seed)
     base = _shingle_hashes(df, text_col, id_col, shingle_k)
 
-    def _perm(a: int, b: int):
-        return lambda h: (F.lit(a) * (h % F.lit(MINHASH_PRIME)) + F.lit(b)) % F.lit(
-            MINHASH_PRIME
-        )
+    # One fold over the hash array computing all num_hashes mins at once:
+    # the expensive ``hashes`` expression is referenced exactly once (16
+    # separate array_min(transform(hashes, ...)) calls would re-evaluate the
+    # whole tokenize→shingle→md5 chain per signature row).
+    p = F.lit(MINHASH_PRIME)
 
-    sig = F.array(
-        *[F.array_min(F.transform(F.col("hashes"), _perm(a, b))) for a, b in coeffs]
+    def _perms(h: Column) -> Column:
+        hm = h % p
+        return F.array(*[(F.lit(a) * hm + F.lit(b)) % p for a, b in coeffs])
+
+    init = F.array(*[F.lit(MINHASH_PRIME).cast("long") for _ in coeffs])
+    sig = F.aggregate(
+        F.col("hashes"),
+        init,
+        lambda acc, h: F.zip_with(acc, _perms(h), lambda x, y: F.least(x, y)),
     )
     return base.select("doc_id", sig.alias("sig"))
 

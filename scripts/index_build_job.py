@@ -1,0 +1,94 @@
+#!/usr/bin/env python
+"""Index-build throughput job for the scaling protocol (BASELINE.md).
+
+Run via spark-submit so the master/parallelism comes from the submit command::
+
+    spark-submit --master local[8]  scripts/index_build_job.py --replicate 64
+    spark-submit --master local[32] scripts/index_build_job.py --replicate 64
+
+Reads $SPARK_GRAFT_SF_DIR/documents.parquet (default sf0.1), replicates it
+--replicate× with a replica-id column (deterministic, same bytes per replica),
+builds the full inverted index (docID assignment → tokenize → postings →
+delta+varbyte segments → global stats), and prints ONE JSON line::
+
+    {"n_docs": N, "build_wall_sec": S, "files_per_sec": T, "master": "..."}
+
+Wall time covers the build only (session startup excluded) — the quantity the
+scaling-efficiency rule compares between N and 4N parallelism.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from elasticsearch_aggregation_geoclustering_spark.plans.index_build import build_index
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--replicate", type=int, default=256)
+    ap.add_argument("--docs-per-segment", type=int, default=2048)
+    ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    args = ap.parse_args()
+
+    spark = (
+        SparkSession.builder.appName("index-build-scaling")
+        .config("spark.sql.shuffle.partitions", "64")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    master = spark.sparkContext.master
+
+    docs = spark.read.parquet(os.path.join(args.sf_dir, "documents.parquet"))
+    # stream the replica ids (64-way parallel) against the broadcast docs so
+    # corpus generation itself is parallel, not one parquet-split task
+    reps = spark.range(0, args.replicate, 1, 64).withColumnRenamed("id", "rep")
+    corpus = reps.join(F.broadcast(docs)).select(
+        "rep", F.col("doc_id").alias("orig_id"), "text"
+    )
+    n_docs = corpus.count()  # materialize the input before the timed section
+
+    index_dir = tempfile.mkdtemp(prefix=f"scale_idx_{master.replace('[','_').replace(']','')}_")
+    try:
+        t0 = time.perf_counter()
+        stats = build_index(
+            spark,
+            corpus,
+            index_dir,
+            content_col="text",
+            key_cols=("rep", "orig_id"),
+            docs_per_segment=args.docs_per_segment,
+            resume=False,
+        )
+        wall = time.perf_counter() - t0
+        print(
+            json.dumps(
+                {
+                    "n_docs": n_docs,
+                    "n_segments": stats["n_segments"],
+                    "build_wall_sec": round(wall, 3),
+                    "files_per_sec": round(n_docs / wall, 2),
+                    "master": master,
+                }
+            )
+        )
+    finally:
+        shutil.rmtree(index_dir, ignore_errors=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
