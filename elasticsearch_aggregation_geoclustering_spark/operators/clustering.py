@@ -49,6 +49,7 @@ from pyspark.sql.types import (
 )
 
 from ..geo import geohash
+from ..geo.geohash import MAX_PRECISION as MAX_PRECISION_LEVEL
 from ..geo.planner import ClusteringPlan, plan_clustering
 from .merge import Cluster, merge_clusters
 
@@ -97,6 +98,50 @@ def _quantize_centroid(lat: Column, lon: Column) -> tuple[Column, Column]:
         return pd.Series(enc * geohash.LONGITUDE_DECODE)
 
     return _qlat(lat), _qlon(lon)
+
+
+def explode_multi_points(
+    df: DataFrame,
+    points_col: str,
+    doc_col: str,
+    precision: int,
+    lon_field: str = "lon",
+    lat_field: str = "lat",
+) -> DataFrame:
+    """Multi-valued geo_point handling with duplicate-cell skip (P6).
+
+    The reference iterates a doc's points in doc_values order (sorted by the
+    Lucene encoding) and skips a value whose cell equals the previous value's
+    cell (GeoPointClusteringAggregator.java:106-123, 144-147) — i.e. each doc
+    contributes at most ONE point per cell, the first in encoded-sort order.
+
+    Spark shape: explode the ``array<struct<lon,lat>>`` column, compute the
+    cell, keep ``min_by(point, encoded)`` per (doc, cell) — ``min`` of the
+    full-precision encoding IS the doc_values-first point, without assuming
+    any input order.  One extra shuffle keyed by (doc, cell); the downstream
+    cell aggregation then proceeds exactly as in the single-valued path.
+
+    Returns ``(doc, lon, lat)`` rows ready for geo_cell_aggregate /
+    geo_point_clustering.
+    """
+    pt = F.explode(F.col(points_col)).alias("_pt")
+    base = df.select(F.col(doc_col).alias("_doc"), pt).select(
+        "_doc",
+        F.col(f"_pt.{lon_field}").cast("double").alias("lon"),
+        F.col(f"_pt.{lat_field}").cast("double").alias("lat"),
+    )
+    # full-precision (level 12) encoding = Lucene doc_values sort key
+    enc = cell_column(F.col("lon"), F.col("lat"), MAX_PRECISION_LEVEL).alias("_enc")
+    cell = cell_column(F.col("lon"), F.col("lat"), precision).alias("_cell")
+    with_keys = base.select("_doc", "lon", "lat", enc, cell)
+    first = with_keys.groupBy("_doc", "_cell").agg(
+        F.min_by(F.struct("lon", "lat"), F.col("_enc")).alias("_p")
+    )
+    return first.select(
+        F.col("_doc").alias(doc_col),
+        F.col("_p.lon").alias("lon"),
+        F.col("_p.lat").alias("lat"),
+    )
 
 
 def geo_cell_aggregate(
@@ -206,6 +251,8 @@ def geo_point_clustering(
     *,
     quantize_wire: bool = False,
     metrics: dict[str, Column] | None = None,
+    sample_fraction: float | None = None,
+    sample_seed: int = 42,
     **params,
 ) -> ClusteringResult:
     """Full aggregation: distributed cell agg + driver-side greedy merge.
@@ -213,10 +260,20 @@ def geo_point_clustering(
     Unmapped-field short-circuit (P19,
     GeoPointClusteringAggregatorFactory.java:57-73): a missing lon/lat column
     yields a well-formed empty result rather than an error.
+
+    ``sample_fraction`` reproduces the sampling finalize (P20,
+    InternalGeoPointClustering.java:339-353): cluster over a Bernoulli sample
+    and scale each bucket's doc_count back up by 1/fraction
+    (``SamplingContext.scaleUp``); centroids stay the sample means.
     """
     plan = plan_clustering(zoom, **params)
     if lon_col not in df.columns or lat_col not in df.columns:
         return ClusteringResult(plan=plan, clusters=[])
+    if sample_fraction is not None:
+        if not 0 < sample_fraction <= 1:
+            raise ValueError(f"sample_fraction must be in (0, 1]: {sample_fraction}")
+        if sample_fraction < 1:
+            df = df.sample(fraction=sample_fraction, seed=sample_seed)
 
     cells_df = _cell_aggregate(df, lon_col, lat_col, plan, quantize_wire, metrics)
     rows = (
@@ -234,6 +291,10 @@ def geo_point_clustering(
         for row in rows
     ]
     clusters = merge_clusters(candidates, plan.radius_m, plan.ratio)
+    if sample_fraction is not None and sample_fraction < 1:
+        for c in clusters:
+            c.doc_count = int(c.doc_count / sample_fraction)
+            c.metrics = {k: v / sample_fraction for k, v in c.metrics.items()}
     return ClusteringResult(plan=plan, clusters=clusters)
 
 
