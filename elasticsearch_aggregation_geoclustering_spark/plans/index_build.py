@@ -71,7 +71,7 @@ def _ranged_with_pid(df: DataFrame, key_cols: tuple[str, ...], num_partitions: i
     )
 
 
-def _partition_offsets(ranged: DataFrame) -> tuple[dict[int, int], int]:
+def _partition_offsets(ranged: DataFrame) -> tuple[dict[int, int], dict[int, int], int]:
     """Rows-before-this-partition offsets + total count.
 
     Catalyst prunes every column but ``_pid`` out of this job, so the shuffle
@@ -86,7 +86,7 @@ def _partition_offsets(ranged: DataFrame) -> tuple[dict[int, int], int]:
     for pid in sorted(counts):
         offsets[pid] = acc
         acc += counts[pid]
-    return offsets, acc
+    return offsets, counts, acc
 
 
 _MID_LOCAL_MASK = (1 << 33) - 1  # monotonically_increasing_id = pid<<33 | local_row
@@ -122,8 +122,90 @@ def assign_doc_ids(
     """
     num_partitions = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     ranged = _ranged_with_pid(df, key_cols, num_partitions)
-    offsets, _ = _partition_offsets(ranged)
+    offsets, _counts, _ = _partition_offsets(ranged)
     return _with_doc_ids(ranged, offsets)
+
+
+def _build_one_segment(
+    index_dir: str,
+    seg_id: int,
+    pdf: pd.DataFrame,
+    content_col: str,
+    docmap_cols: tuple[str, ...],
+) -> dict:
+    """Tokenize + pack one segment; write postings + docmap part atomically;
+    return the manifest/lineage dict.  Shared by the interior (in-partition)
+    and fragment (shuffled-boundary) build paths — identical bytes either way.
+    """
+    import pyarrow as pa
+
+    t0 = seg_store.now()
+    pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+    doc_ids = pdf["doc_id"].to_numpy(np.int64)
+
+    tf_frame = doc_term_frequencies(pdf[content_col])
+    # doc length per positional row, then per doc_id
+    dl_by_row = np.zeros(len(pdf), dtype=np.int64)
+    if not tf_frame.empty:
+        dl_sums = tf_frame.groupby("row")["tf"].sum()
+        dl_by_row[dl_sums.index.to_numpy(np.int64)] = dl_sums.to_numpy(np.int64)
+
+    if tf_frame.empty:
+        terms_u = np.empty(0, dtype=object)
+        starts = np.empty(0, dtype=np.int64)
+        run_lens = np.empty(0, dtype=np.int64)
+        total = 0
+        ids_all = np.empty(0, dtype=np.int64)
+        tf_vals = np.empty(0, dtype=np.int64)
+        dls_all = np.empty(0, dtype=np.int64)
+    else:
+        # postings order: (term asc, doc_id asc); rows within a term are
+        # already doc-ordered because doc_term_frequencies sorts by row
+        term_sorted = tf_frame.sort_values(["term", "row"], kind="stable").reset_index(drop=True)
+        terms_arr = term_sorted["term"].to_numpy()
+        starts = np.flatnonzero(
+            np.concatenate(([True], terms_arr[1:] != terms_arr[:-1]))
+        )
+        terms_u = terms_arr[starts]
+        total = len(terms_arr)
+        run_lens = np.diff(np.append(starts, total))
+        row_idx = term_sorted["row"].to_numpy(np.int64)
+        tf_vals = term_sorted["tf"].to_numpy(np.int64)
+        ids_all = doc_ids[row_idx]
+        dls_all = dl_by_row[row_idx]
+
+    # all three binary columns come out of one vectorized encode each
+    deltas = codec.segmented_delta_encode(ids_all.astype(np.uint64), starts)
+    table = pa.table(
+        {
+            "term": pa.array(terms_u, pa.string()),
+            "seg_id": pa.array(np.full(len(terms_u), seg_id, dtype=np.int64)),
+            "df": pa.array(run_lens.astype(np.int64)),
+            "doc_ids_vb": codec.segmented_varbyte_binary(deltas, starts, total),
+            "tfs_vb": codec.segmented_varbyte_binary(tf_vals.astype(np.uint64), starts, total),
+            "dls_vb": codec.segmented_varbyte_binary(dls_all.astype(np.uint64), starts, total),
+        },
+        schema=seg_store.POSTINGS_ARROW_SCHEMA,
+    )
+    path = seg_store.segment_postings_path(index_dir, seg_id)
+    size, digest = seg_store.write_segment_file(path, table)
+
+    docmap_table = pa.Table.from_pandas(
+        pdf[["doc_id", *docmap_cols, "sha256"]], preserve_index=False
+    )
+    seg_store.write_segment_file(
+        seg_store.docmap_part_path(index_dir, seg_id), docmap_table
+    )
+    return {
+        "seg_id": seg_id,
+        "n_docs": len(pdf),
+        "n_terms": len(terms_u),
+        "n_postings": int(total),
+        "total_tokens": int(dl_by_row.sum()),
+        "postings_bytes": size,
+        "sha256": digest,
+        "build_wall_sec": seg_store.now() - t0,
+    }
 
 
 def _build_segment_fn(
@@ -131,89 +213,98 @@ def _build_segment_fn(
     content_col: str,
     docmap_cols: tuple[str, ...],
 ):
-    """Per-segment builder for applyInPandas.
-
-    Tokenizes, packs postings (delta+varbyte), writes the postings parquet
-    AND the segment's docmap part atomically, returns one manifest row.
-    """
+    """applyInPandas wrapper over _build_one_segment (the fragment path)."""
 
     def build(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        import pyarrow as pa
-
-        t0 = seg_store.now()
-        seg_id = int(key[0])
-        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
-        doc_ids = pdf["doc_id"].to_numpy(np.int64)
-
-        tf_frame = doc_term_frequencies(pdf[content_col])
-        # doc length per positional row, then per doc_id
-        dl_by_row = np.zeros(len(pdf), dtype=np.int64)
-        if not tf_frame.empty:
-            dl_sums = tf_frame.groupby("row")["tf"].sum()
-            dl_by_row[dl_sums.index.to_numpy(np.int64)] = dl_sums.to_numpy(np.int64)
-
-        if tf_frame.empty:
-            terms_u = np.empty(0, dtype=object)
-            starts = np.empty(0, dtype=np.int64)
-            run_lens = np.empty(0, dtype=np.int64)
-            total = 0
-            ids_all = np.empty(0, dtype=np.int64)
-            tf_vals = np.empty(0, dtype=np.int64)
-            dls_all = np.empty(0, dtype=np.int64)
-        else:
-            # postings order: (term asc, doc_id asc); rows within a term are
-            # already doc-ordered because doc_term_frequencies sorts by row
-            term_sorted = tf_frame.sort_values(["term", "row"], kind="stable").reset_index(drop=True)
-            terms_arr = term_sorted["term"].to_numpy()
-            starts = np.flatnonzero(
-                np.concatenate(([True], terms_arr[1:] != terms_arr[:-1]))
-            )
-            terms_u = terms_arr[starts]
-            total = len(terms_arr)
-            run_lens = np.diff(np.append(starts, total))
-            row_idx = term_sorted["row"].to_numpy(np.int64)
-            tf_vals = term_sorted["tf"].to_numpy(np.int64)
-            ids_all = doc_ids[row_idx]
-            dls_all = dl_by_row[row_idx]
-
-        # all three binary columns come out of one vectorized encode each
-        deltas = codec.segmented_delta_encode(ids_all.astype(np.uint64), starts)
-        table = pa.table(
-            {
-                "term": pa.array(terms_u, pa.string()),
-                "seg_id": pa.array(np.full(len(terms_u), seg_id, dtype=np.int64)),
-                "df": pa.array(run_lens.astype(np.int64)),
-                "doc_ids_vb": codec.segmented_varbyte_binary(deltas, starts, total),
-                "tfs_vb": codec.segmented_varbyte_binary(tf_vals.astype(np.uint64), starts, total),
-                "dls_vb": codec.segmented_varbyte_binary(dls_all.astype(np.uint64), starts, total),
-            },
-            schema=seg_store.POSTINGS_ARROW_SCHEMA,
-        )
-        path = seg_store.segment_postings_path(index_dir, seg_id)
-        size, digest = seg_store.write_segment_file(path, table)
-
-        docmap_table = pa.Table.from_pandas(
-            pdf[["doc_id", *docmap_cols, "sha256"]], preserve_index=False
-        )
-        seg_store.write_segment_file(
-            seg_store.docmap_part_path(index_dir, seg_id), docmap_table
-        )
-        return pd.DataFrame(
-            [
-                {
-                    "seg_id": seg_id,
-                    "n_docs": len(pdf),
-                    "n_terms": len(terms_u),
-                    "n_postings": int(total),
-                    "total_tokens": int(dl_by_row.sum()),
-                    "postings_bytes": size,
-                    "sha256": digest,
-                    "build_wall_sec": seg_store.now() - t0,
-                }
-            ]
-        )
+        meta = _build_one_segment(index_dir, int(key[0]), pdf, content_col, docmap_cols)
+        return pd.DataFrame([meta])
 
     return build
+
+
+def _partition_builder_fn(
+    index_dir: str,
+    offsets: dict[int, int],
+    counts: dict[int, int],
+    docs_per_segment: int,
+    content_col: str,
+    docmap_cols: tuple[str, ...],
+    done: frozenset[int],
+):
+    """mapInPandas builder: assign ids locally, build every segment FULLY
+    CONTAINED in this partition's doc range in place (writing postings +
+    docmap part + a manifest-part json, no shuffle), and emit only the
+    boundary rows (head/tail partial segments) for the tiny fragment stage.
+
+    This is what makes the build a single full-data shuffle: segment
+    boundaries are global multiples of ``docs_per_segment``, a range
+    partition covers a contiguous id span, so at most ~2 segments' worth of
+    rows per partition ever leave the partition.
+    """
+    from collections.abc import Iterator as _It
+
+    def run(batches: "_It[pd.DataFrame]") -> "_It[pd.DataFrame]":
+        buffer: list[pd.DataFrame] = []
+        buffered = 0
+        pid = None
+        base = 0
+        seen = 0
+
+        def flush_complete(force_tail: bool):
+            nonlocal buffer, buffered
+            if not buffer:
+                return
+            pdf = pd.concat(buffer, ignore_index=True) if len(buffer) > 1 else buffer[0]
+            buffer, buffered = [], 0
+            first_id = int(pdf["doc_id"].iloc[0])
+            pend = base + counts[pid]  # partition's exclusive id end
+            out_frags = []
+            i = 0
+            n = len(pdf)
+            while i < n:
+                sid = (first_id + i) // docs_per_segment
+                seg_start = sid * docs_per_segment
+                seg_end = seg_start + docs_per_segment
+                take = min(n - i, seg_end - (first_id + i))
+                chunk = pdf.iloc[i : i + take]
+                contained = seg_start >= base and seg_end <= pend
+                complete_here = (first_id + i) == seg_start and take == (seg_end - seg_start)
+                if contained and complete_here:
+                    if sid not in done:
+                        meta = _build_one_segment(
+                            index_dir, sid, chunk, content_col, docmap_cols
+                        )
+                        seg_store.save_manifest_part(index_dir, meta)
+                elif contained and not complete_here and not force_tail:
+                    # incomplete interior chunk: wait for more batches
+                    buffer.append(chunk.copy())
+                    buffered = len(chunk)
+                    break
+                else:
+                    if sid not in done:
+                        out_frags.append(chunk)
+                i += take
+            if out_frags:
+                yield pd.concat(out_frags, ignore_index=True)
+
+        for raw in batches:
+            if raw.empty:
+                continue
+            if pid is None:
+                pid = int(raw["_pid"].iloc[0])
+                base = offsets[pid]
+            ids = np.arange(base + seen, base + seen + len(raw), dtype=np.int64)
+            seen += len(raw)
+            pdf = raw.drop(columns=["_pid"])
+            pdf.insert(0, "doc_id", ids)
+            pdf["seg_id"] = ids // docs_per_segment
+            buffer.append(pdf)
+            buffered += len(pdf)
+            if buffered >= docs_per_segment:
+                yield from flush_complete(force_tail=False)
+        yield from flush_complete(force_tail=True)
+
+    return run
 
 
 def build_index(
@@ -239,14 +330,14 @@ def build_index(
     if manifest is not None:
         docs_per_segment = manifest.docs_per_segment
 
-    # sha256 JVM-side so the python workers never hash; carried through both
-    # shuffles alongside the docmap columns
+    # sha256 JVM-side so the python workers never hash; carried through the
+    # shuffle alongside the docmap columns
     work = docs.select(*key_cols, *docmap_cols, content_col).withColumn(
         "sha256", F.sha2(F.col(content_col).cast("binary"), 256)
     )
     num_partitions = num_partitions or spark.sparkContext.defaultParallelism
     ranged = _ranged_with_pid(work, key_cols, num_partitions)
-    offsets, n_docs = _partition_offsets(ranged)  # key-only job (content pruned)
+    offsets, counts, n_docs = _partition_offsets(ranged)  # key-only job
 
     if manifest is None:
         manifest = IndexManifest(
@@ -256,25 +347,53 @@ def build_index(
         )
         save_manifest(index_dir, manifest)
 
-    assigned = _with_doc_ids(ranged, offsets).withColumn(
-        "seg_id", (F.col("doc_id") / F.lit(docs_per_segment)).cast("long")
+    # a crash can leave interior manifest parts not yet folded into
+    # manifest.json — both count as claimed, but a segment is only DONE if
+    # its artifacts actually exist on disk (a deleted/corrupt segment gets
+    # rebuilt even when still listed)
+    parts = seg_store.load_manifest_parts(index_dir) if resume else {}
+    claimed = manifest.completed_segment_ids() | {int(k) for k in parts}
+    done = frozenset(
+        sid
+        for sid in claimed
+        if os.path.exists(seg_store.segment_postings_path(index_dir, sid))
+        and os.path.exists(seg_store.docmap_part_path(index_dir, sid))
     )
-    done = manifest.completed_segment_ids()
-    if done:
-        assigned = assigned.where(~F.col("seg_id").isin([int(s) for s in done]))
+    stale = {str(s) for s in claimed - done}
+    if stale:
+        manifest.segments = {k: v for k, v in manifest.segments.items() if k not in stale}
+        parts = {k: v for k, v in parts.items() if k not in stale}
 
-    # the ONE full-data job: segid shuffle → per-segment build (postings +
-    # docmap part written as side effects, manifest lineage rows returned)
-    new_rows = (
-        assigned.groupBy("seg_id")
-        .applyInPandas(
-            _build_segment_fn(index_dir, content_col, tuple([*key_cols, *docmap_cols])),
-            SEGMENT_MANIFEST_SPARK_SCHEMA,
+    if len(done) < max(1, manifest.num_segments_expected):
+        dm_cols = tuple([*key_cols, *docmap_cols])
+        frag_schema = ", ".join(
+            ["doc_id long"]
+            + [f"`{name}` {dtype}" for name, dtype in ranged.drop("_pid").dtypes]
+            + ["seg_id long"]
         )
-        .collect()
-    )
-    for row in new_rows:
-        manifest.segments[str(row["seg_id"])] = row.asDict()
+        frags = ranged.mapInPandas(
+            _partition_builder_fn(
+                index_dir, offsets, counts, docs_per_segment, content_col, dm_cols, done
+            ),
+            frag_schema,
+        )
+        # the ONE full-data job: interior segments are written as side
+        # effects inside the partitions above; only boundary rows reach this
+        # tiny shuffle (≲ 2·docs_per_segment rows per partition)
+        frag_rows = (
+            frags.groupBy("seg_id")
+            .applyInPandas(
+                _build_segment_fn(index_dir, content_col, dm_cols),
+                SEGMENT_MANIFEST_SPARK_SCHEMA,
+            )
+            .collect()
+        )
+        for row in frag_rows:
+            manifest.segments[str(row["seg_id"])] = row.asDict()
+        parts = seg_store.load_manifest_parts(index_dir)
+
+    for sid, meta in parts.items():
+        manifest.segments.setdefault(sid, meta)
     save_manifest(index_dir, manifest)
 
     # global term stats: one input row per distinct (term, segment) — the

@@ -122,6 +122,36 @@ def segments_glob(index_dir: str) -> str:
     return os.path.join(index_dir, "segments")
 
 
+def manifest_parts_dir(index_dir: str) -> str:
+    return os.path.join(index_dir, "manifest_parts")
+
+
+def save_manifest_part(index_dir: str, meta: dict) -> None:
+    """Atomic per-segment lineage record, written by the task that built the
+    segment — folded into manifest.json by the driver afterwards, and
+    consulted on resume in case a build crashed between the two."""
+    d = manifest_parts_dir(index_dir)
+    os.makedirs(d, exist_ok=True)
+    path = os.path.join(d, f"seg_{int(meta['seg_id']):06d}.json")
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh, sort_keys=True)
+    os.replace(tmp, path)
+
+
+def load_manifest_parts(index_dir: str) -> dict[str, dict]:
+    d = manifest_parts_dir(index_dir)
+    if not os.path.isdir(d):
+        return {}
+    out: dict[str, dict] = {}
+    for fn in os.listdir(d):
+        if fn.endswith(".json"):
+            with open(os.path.join(d, fn)) as fh:
+                meta = json.load(fh)
+            out[str(meta["seg_id"])] = meta
+    return out
+
+
 def write_segment_file(path: str, table: pa.Table) -> tuple[int, str]:
     """Atomically write one segment parquet; returns (bytes, sha256).
 

@@ -90,8 +90,11 @@ def host_calibration() -> dict:
     for name, fn in (("memcpy", _memburn), ("cpu", _cpuburn)):
         totals = {}
         for procs in (2, 8):
-            with mp.Pool(procs) as pool:
-                totals[procs] = sum(pool.map(fn, range(procs)))
+            best = 0
+            for _ in range(2):  # best-of-2 per level against ambient load
+                with mp.Pool(procs) as pool:
+                    best = max(best, sum(pool.map(fn, range(procs))))
+            totals[procs] = best
         out[name] = round(totals[8] / totals[2] / 4.0, 3)
     return out
 
@@ -102,6 +105,7 @@ def main() -> None:
     make_pyfiles_zip()
     # the host is a shared VM with ±30% run-to-run noise: interleave the two
     # levels so ambient load hits both, then take the median per level
+    calib = host_calibration()  # before the trials: a quiet machine
     trials_n, trials_4n = [], []
     for _ in range(repeats):
         trials_n.append(run("local[2]", replicate))
@@ -112,7 +116,6 @@ def main() -> None:
 
     r8 = median(trials_n)
     r32 = median(trials_4n)
-    calib = host_calibration()
     eff = (r32["files_per_sec"] / r8["files_per_sec"]) / 4.0  # local[2] vs local[8] = N vs 4N
     result = {
         "metric": "scaling_efficiency",
