@@ -200,6 +200,15 @@ def _q_bm25_topk_and(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_bm25_direct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from elasticsearch_aggregation_geoclustering_spark.plans.query import bm25_search_docs
+
+    topk = bm25_search_docs(
+        _docs(spark, sf_dir), TERMS_OR, id_col="doc_id", text_col="text", k=TOPK
+    )
+    return topk.select("doc_id", F.round("score", 5).alias("score"))
+
+
 def _q_match_count_or(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _index_for(spark, sf_dir).match_count(TERMS_OR, mode="OR")
     return spark.createDataFrame([(n,)], "hits long")
@@ -326,6 +335,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # inverted index + BM25 query engine (SURVEY.md §2.2, north_rule)
         "bm25_topk_or": _q_bm25_topk_or,
         "bm25_topk_and": _q_bm25_topk_and,
+        "bm25_direct_topk": _q_bm25_direct,
         "match_count_or": _q_match_count_or,
         "match_count_and": _q_match_count_and,
         "term_df": _q_term_df,
@@ -413,6 +423,7 @@ where lon >= {BBOX['lon_min']} and lon <= {BBOX['lon_max']}
 """,
         "bm25_topk_or": _bm25_sql(TERMS_OR, "OR"),
         "bm25_topk_and": _bm25_sql(TERMS_AND, "AND"),
+        "bm25_direct_topk": _bm25_sql(TERMS_OR, "OR"),
         "match_count_or": _match_count_sql(TERMS_OR, "OR"),
         "match_count_and": _match_count_sql(TERMS_AND, "AND"),
         "term_df": f"""

@@ -178,3 +178,72 @@ class InvertedIndex:
         return self.docmap().join(F.broadcast(topk), on="doc_id").orderBy(
             F.desc("score"), F.asc("doc_id")
         )
+
+
+def bm25_search_docs(
+    docs: DataFrame,
+    terms: list[str],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+    k: int = 10,
+    mode: str = "OR",
+    params: bm25.Bm25Params = bm25.Bm25Params(),
+) -> DataFrame:
+    """Index-free BM25 top-k straight off a documents DataFrame (doc_id, score).
+
+    For ad-hoc queries where building the inverted index isn't worth it: one
+    pass tokenizes and counts the query terms per doc JVM-side (explode +
+    filter + groupBy doc), a broadcast-joined df/N/avgdl stats subplan supplies
+    idf, and the same deterministic term-ordered fold as InvertedIndex.search
+    produces the score.  Two shuffles over (doc, term) rows — never over raw
+    text.  Scores may differ from the indexed path in the last ulp only
+    (JVM ``ln`` vs numpy ``log``); ranks agree on non-adversarial data.
+    """
+    from ..functions.tokenizer import tokenize_column
+
+    terms = sorted(set(terms))
+    if not terms:
+        return docs.select(
+            F.col(id_col).alias("doc_id"), F.lit(0.0).alias("score")
+        ).limit(0)
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokenize_column(F.col(text_col))).alias("term"),
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    n_docs = docs.count()
+    total_tokens_row = toks.groupBy().agg(F.count(F.lit(1)).alias("t")).collect()
+    avgdl = (total_tokens_row[0]["t"] / n_docs) if n_docs else 0.0
+
+    tf = (
+        toks.where(F.col("term").isin(terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    tf_d = F.col("tf").cast("double")
+    dl_d = F.col("dl").cast("double")
+    denom = tf_d + F.lit(params.k1) * (
+        F.lit(1.0) - F.lit(params.b) + F.lit(params.b) * dl_d / F.lit(avgdl)
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), on="term")
+        .join(dl, on="doc_id")
+        .select("doc_id", "term", (idf * (tf_d / denom)).alias("score"))
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("term", "score"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["score"],
+        ).alias("score"),
+        F.count(F.lit(1)).alias("_nterms"),
+    )
+    if mode.upper() == "AND":
+        agg = agg.where(F.col("_nterms") == len(terms))
+    return agg.select("doc_id", "score").orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
