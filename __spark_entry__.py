@@ -49,10 +49,20 @@ TERMS_AND = ["table", "value", "customer"]
 TOPK = 50
 ANN_K = 20
 NEAR_DUP_COS = 0.4
+RP_N_PLANES = 16
+RP_BANDS = 4
+RP_SEED = 42
+RP_PROBE_HAMMING = 2
+EMB_DIM = 64
+SIMHASH_MAX_HAMMING = 3
+SIMHASH_BANDS = 5
 JACCARD_K = 1
 JACCARD_THRESHOLD = 0.25
+LSH_MAX_BUCKET = 1000
 GEO_ZOOM = 9
 GEO_ZOOM_COARSE = 5
+GEO_SHARDS = 3
+GEO_SHARD_SIZE = 200
 BBOX = {"lon_min": -20.0, "lon_max": 40.0, "lat_min": 10.0, "lat_max": 60.0}
 DOCS_PER_SEGMENT = 128
 
@@ -71,10 +81,26 @@ def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
 
 
+def _source_fingerprint(path: str) -> str:
+    """Sizes+mtimes of every file under a parquet path — cheap content proxy
+    so a changed table at the same path never reuses a stale index."""
+    entries = []
+    if os.path.isdir(path):
+        for root, _dirs, files in os.walk(path):
+            for name in sorted(files):
+                st = os.stat(os.path.join(root, name))
+                entries.append(f"{os.path.relpath(os.path.join(root, name), path)}:{st.st_size}:{st.st_mtime_ns}")
+    elif os.path.exists(path):
+        st = os.stat(path)
+        entries.append(f".:{st.st_size}:{st.st_mtime_ns}")
+    return hashlib.md5("|".join(entries).encode()).hexdigest()[:12]
+
+
 def _index_for(spark: SparkSession, sf_dir: str) -> InvertedIndex:
     """Build (once, resumable) and open the inverted index for an sf dir."""
+    fp = _source_fingerprint(os.path.join(sf_dir, "documents.parquet"))
     key = hashlib.md5(
-        f"{os.path.realpath(sf_dir)}|{DOCS_PER_SEGMENT}".encode()
+        f"{os.path.realpath(sf_dir)}|{DOCS_PER_SEGMENT}|{fp}".encode()
     ).hexdigest()[:16]
     index_dir = os.path.join(_CACHE_ROOT, key)
     if not os.path.exists(os.path.join(index_dir, "stats.json")):
@@ -169,6 +195,33 @@ def _q_geo_cell_agg_z5_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_geo_shard_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P10 parity mode: per-shard truncate-by-key BEFORE the reduce, over a
+    deterministic logical shard (event_id % GEO_SHARDS), then the global P13
+    truncate — the ES multi-shard protocol end to end."""
+    pts = _event_points(spark, sf_dir).withColumn(
+        "shard", (F.col("event_id") % F.lit(GEO_SHARDS)).cast("long")
+    )
+    cells = geo_cell_aggregate(
+        pts,
+        zoom=GEO_ZOOM,
+        shard_parity=True,
+        shard_col="shard",
+        size=GEO_SHARD_SIZE,
+        shard_size=GEO_SHARD_SIZE,
+    )
+    return (
+        cells.orderBy(F.desc("cell"))
+        .limit(GEO_SHARD_SIZE)
+        .select(
+            "cell",
+            "doc_count",
+            F.round("centroid_lat", 6).alias("centroid_lat"),
+            F.round("centroid_lon", 6).alias("centroid_lon"),
+        )
+    )
+
+
 def _q_geo_hits_total_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _bbox_filter(_event_points(spark, sf_dir)).count()
     return spark.createDataFrame([(n,)], "hits long")
@@ -177,7 +230,14 @@ def _q_geo_hits_total_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_geo_clustering_paris(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = spark.createDataFrame(_PARIS_POINTS, "doc_id long, lon double, lat double")
     result = geo_point_clustering(pts, zoom=GEO_ZOOM)
-    return clusters_to_dataframe(spark, result)
+    df = clusters_to_dataframe(spark, result)
+    return df.select(
+        "key",
+        "geohash_grids",
+        "doc_count",
+        F.round("centroid_lat", 6).alias("centroid_lat"),
+        F.round("centroid_lon", 6).alias("centroid_lon"),
+    )
 
 
 def _q_bm25_topk_or(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -256,14 +316,27 @@ def _q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.ngram_jaccard_pairs(
+    # MinHash-banded candidate generation (the 100 TB path) — never a
+    # within-block quadratic join; exact Jaccard verifies each candidate
+    return dedup.ngram_jaccard_pairs_minhash(
         _docs(spark, sf_dir),
         "text",
         "doc_id",
-        block_col="lang",
         shingle_k=JACCARD_K,
         threshold=JACCARD_THRESHOLD,
+        max_bucket_size=LSH_MAX_BUCKET,
     )
+
+
+def _q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dedup.simhash_near_pairs(
+        _docs(spark, sf_dir),
+        "text",
+        "doc_id",
+        max_hamming=SIMHASH_MAX_HAMMING,
+        bands=SIMHASH_BANDS,
+    )
+    return pairs.select("doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming"))
 
 
 def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
@@ -279,9 +352,17 @@ def _q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # banded RP-LSH blocking (the 100 TB path): candidates share ≥1 signature
+    # band; exact cosine verifies — no cross join anywhere in the plan
     emb = _embeddings(spark, sf_dir)
-    pairs = similarity.cosine_near_pairs(
-        emb, "vec_id", "embedding", threshold=NEAR_DUP_COS
+    pairs = similarity.rp_band_near_pairs(
+        emb,
+        "vec_id",
+        "embedding",
+        threshold=NEAR_DUP_COS,
+        n_planes=RP_N_PLANES,
+        bands=RP_BANDS,
+        seed=RP_SEED,
     )
     return pairs.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
@@ -289,7 +370,16 @@ def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _embeddings(spark, sf_dir)
     qv = _query_vec(spark, sf_dir)
-    topk = similarity.rp_lsh_topk(emb, "vec_id", "embedding", qv, k=ANN_K)
+    topk = similarity.rp_lsh_topk(
+        emb,
+        "vec_id",
+        "embedding",
+        qv,
+        k=ANN_K,
+        n_planes=RP_N_PLANES,
+        seed=RP_SEED,
+        max_probe_hamming=RP_PROBE_HAMMING,
+    )
     return topk.select("vec_id", F.round("cosine", 6).alias("cosine"))
 
 
@@ -330,8 +420,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # geo clustering operator family (SURVEY.md §2.1)
         "geo_cell_agg_z9": _q_geo_cell_agg_z9,
         "geo_cell_agg_z5_bbox": _q_geo_cell_agg_z5_bbox,
+        "geo_shard_parity_z9": _q_geo_shard_parity,
         "geo_hits_total_bbox": _q_geo_hits_total_bbox,
-        "geo_clustering_paris_z9": _q_geo_clustering_paris,  # rows-only (greedy merge)
+        "geo_clustering_paris_z9": _q_geo_clustering_paris,
         # inverted index + BM25 query engine (SURVEY.md §2.2, north_rule)
         "bm25_topk_or": _q_bm25_topk_or,
         "bm25_topk_and": _q_bm25_topk_and,
@@ -345,11 +436,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_groups": _q_dedup_exact_groups,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
         "dedup_simhash": _q_dedup_simhash,
+        "dedup_simhash_pairs": _q_dedup_simhash_pairs,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         # training-data pipeline: similarity search
         "ann_cosine_topk": _q_ann_cosine_topk,
         "embedding_near_dup": _q_embedding_near_dup,
-        "ann_lsh_topk": _q_ann_lsh_topk,  # rows-only (LSH probe set)
+        "ann_lsh_topk": _q_ann_lsh_topk,
         # training-data pipeline: text analysis + multimodal plumbing
         "text_token_count": _q_text_token_count,
         "text_quality": _q_text_quality,
@@ -387,14 +479,48 @@ group by 1
 """
 
 
+def _geo_shard_parity_sql() -> str:
+    """P10: shard partials → per-shard row_number truncate → weighted
+    combine (same association order as the Spark partial/final agg) →
+    global truncate-by-key."""
+    plan = plan_clustering(GEO_ZOOM, size=GEO_SHARD_SIZE, shard_size=GEO_SHARD_SIZE)
+    cell = osql.geohash_cell_sql(plan.precision)
+    return f"""
+with pts as (
+  select {osql.EVENT_LON_SQL} as lon, {osql.EVENT_LAT_SQL} as lat,
+         (event_id % {GEO_SHARDS})::BIGINT as shard
+  from events
+),
+partials as (
+  select shard, {cell} as cell, count(*)::BIGINT as cnt,
+         avg(lat) as plat, avg(lon) as plon
+  from pts group by 1, 2
+),
+kept as (
+  select * from (
+    select *, row_number() over (partition by shard order by cell desc) as rn
+    from partials
+  ) where rn <= {plan.shard_size}
+)
+select cell, sum(cnt)::BIGINT as doc_count,
+       round(sum(plat * cnt) / sum(cnt), 6) as centroid_lat,
+       round(sum(plon * cnt) / sum(cnt), 6) as centroid_lon
+from kept group by cell
+order by cell desc limit {plan.size}
+"""
+
+
 def _bm25_sql(terms: list[str], mode: str) -> str:
     ctes = osql.bm25_scores_cte(terms=terms)
     and_filter = f"where nterms = {len(set(terms))}" if mode == "AND" else ""
+    # order by the UNROUNDED score (scored.score, not the round(...,5) alias)
+    # — Spark ranks on the exact score before rounding, and at the LIMIT k
+    # boundary two distinct exact scores that round equal must not flip rows
     return f"""
 with {ctes}
 select doc_id, round(score, 5) as score
 from scored {and_filter}
-order by score desc, doc_id asc
+order by scored.score desc, doc_id asc
 limit {TOPK}
 """
 
@@ -405,6 +531,54 @@ def _match_count_sql(terms: list[str], mode: str) -> str:
     return f"with {ctes} select count(*)::BIGINT as hits from scored {and_filter}"
 
 
+def _round_half_up(x: float, ndigits: int) -> float:
+    """Spark's F.round semantics (BigDecimal HALF_UP on the shortest decimal
+    repr), NOT Python's banker's rounding."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(repr(x)).quantize(Decimal(f"1e-{ndigits}"), rounding=ROUND_HALF_UP))
+
+
+def _paris_clustering_sql() -> str:
+    """VALUES-literal oracle for the greedy-merge flagship (P13–P17).
+
+    The expected buckets are computed here, at SQL-generation time, by the
+    pure-numpy executable spec (operators.oracle.cluster_points_oracle) using
+    the TRANSLITERATED reference merge loop (merge_clusters_reference) — an
+    independent code path from the vectorized merge the Spark query runs.
+    The merge over 15 literal points at zoom 9 is deterministic, so the
+    literal rows are a fixed golden.
+    """
+    from elasticsearch_aggregation_geoclustering_spark.geo import geohash as gh
+    from elasticsearch_aggregation_geoclustering_spark.operators.merge import (
+        merge_clusters_reference,
+    )
+    from elasticsearch_aggregation_geoclustering_spark.operators.oracle import (
+        cluster_points_oracle,
+    )
+
+    import numpy as np
+
+    lons = np.array([p[1] for p in _PARIS_POINTS], dtype=np.float64)
+    lats = np.array([p[2] for p in _PARIS_POINTS], dtype=np.float64)
+    clusters = cluster_points_oracle(lons, lats, GEO_ZOOM, merge_fn=merge_clusters_reference)
+    rows = []
+    for c in clusters:
+        key = str(gh.string_encode_from_long(np.array([c.cell], dtype=np.int64))[0])
+        grids = ",".join(
+            sorted(str(s) for s in gh.string_encode_from_long(np.array(c.cells, dtype=np.int64)))
+        )
+        rows.append(
+            f"('{key}', '{grids}', {int(c.doc_count)}::BIGINT, "
+            f"{_round_half_up(c.lat, 6)!r}::DOUBLE, {_round_half_up(c.lon, 6)!r}::DOUBLE)"
+        )
+    values = ",\n  ".join(rows)
+    return f"""
+select * from (values
+  {values}) as t(key, geohash_grids, doc_count, centroid_lat, centroid_lon)
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     toks = osql.tokens_sql("text")
     terms_all = sorted(set(TERMS_OR + TERMS_AND))
@@ -413,6 +587,8 @@ def oracle_sql() -> dict[str, str]:
     return {
         "geo_cell_agg_z9": _geo_cell_agg_sql(GEO_ZOOM, bbox=False),
         "geo_cell_agg_z5_bbox": _geo_cell_agg_sql(GEO_ZOOM_COARSE, bbox=True),
+        "geo_clustering_paris_z9": _paris_clustering_sql(),
+        "geo_shard_parity_z9": _geo_shard_parity_sql(),
         "geo_hits_total_bbox": f"""
 with pts as (
   select {osql.EVENT_LON_SQL} as lon, {osql.EVENT_LAT_SQL} as lat from events
@@ -440,19 +616,16 @@ select (select count(*) from documents)::BIGINT as n_docs,
 select md5(text) as content_md5, min(doc_id)::BIGINT as keeper_id, count(*)::BIGINT as n_dups
 from documents group by 1
 """,
-        "dedup_minhash_lsh": osql.minhash_lsh_pairs_sql(),
+        "dedup_minhash_lsh": osql.minhash_lsh_pairs_sql(max_bucket_size=LSH_MAX_BUCKET),
         "dedup_simhash": osql.simhash_sql(),
-        "dedup_ngram_jaccard": f"""
-with sets as (
-  select doc_id, lang as block, {osql.shingles_sql(toks, JACCARD_K)} as sset
-  from documents
-),
-flt as (select * from sets where len(sset) > 0)
-select l.doc_id as doc_a, r.doc_id as doc_b,
-       len(list_intersect(l.sset, r.sset))::DOUBLE / len(list_distinct(l.sset || r.sset)) as jaccard
-from flt l join flt r on l.block = r.block and l.doc_id < r.doc_id
-where len(list_intersect(l.sset, r.sset))::DOUBLE / len(list_distinct(l.sset || r.sset)) >= {JACCARD_THRESHOLD}
-""",
+        "dedup_simhash_pairs": osql.simhash_near_pairs_sql(
+            max_hamming=SIMHASH_MAX_HAMMING, bands=SIMHASH_BANDS
+        ),
+        "dedup_ngram_jaccard": osql.ngram_jaccard_minhash_sql(
+            shingle_k=JACCARD_K,
+            threshold=JACCARD_THRESHOLD,
+            max_bucket_size=LSH_MAX_BUCKET,
+        ),
         "ann_cosine_topk": f"""
 with q as (select embedding as qv from embeddings where vec_id = 0)
 select vec_id, round({osql.cosine_sql('embedding', 'qv')}, 6) as cosine
@@ -460,12 +633,17 @@ from embeddings cross join q
 order by {osql.cosine_sql('embedding', 'qv')} desc, vec_id asc
 limit {ANN_K}
 """,
-        "embedding_near_dup": f"""
-select a.vec_id as id_a, b.vec_id as id_b,
-       round({osql.cosine_sql('a.embedding', 'b.embedding')}, 6) as cosine
-from embeddings a join embeddings b on a.vec_id < b.vec_id
-where {osql.cosine_sql('a.embedding', 'b.embedding')} >= {NEAR_DUP_COS}
-""",
+        "embedding_near_dup": osql.rp_band_near_pairs_sql(
+            similarity.rp_planes(EMB_DIM, RP_N_PLANES, RP_SEED),
+            threshold=NEAR_DUP_COS,
+            n_planes=RP_N_PLANES,
+            bands=RP_BANDS,
+        ),
+        "ann_lsh_topk": osql.rp_lsh_topk_sql(
+            similarity.rp_planes(EMB_DIM, RP_N_PLANES, RP_SEED),
+            k=ANN_K,
+            max_probe_hamming=RP_PROBE_HAMMING,
+        ),
         "text_token_count": f"select doc_id, len({toks})::INT as n_tokens from documents",
         "text_quality": f"""
 with base as ({osql.quality_features_sql()})

@@ -321,6 +321,70 @@ def simhash_near_pairs(
     return cand.where(F.col("hamming") <= max_hamming)
 
 
+def ngram_jaccard_pairs_minhash(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    shingle_k: int = 1,
+    threshold: float = 0.3,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+    seed: int = 42,
+    max_bucket_size: int | None = 1000,
+) -> DataFrame:
+    """Exact n-gram Jaccard over MinHash-LSH candidate pairs (the scale path).
+
+    ``ngram_jaccard_pairs`` blocked by a low-cardinality attribute (language)
+    is quadratic within each block — unusable at corpus scale.  Here the
+    candidate pairs come from the same banded MinHash join as
+    ``minhash_lsh_pairs`` (uniform md5 band keys, bucket-size cap), and only
+    those candidates pay the exact ``|A∩B| / |A∪B|`` set computation.  The
+    shingle sets rejoin by doc id (uniform), so no stage is quadratic in
+    anything but true near-duplicate cluster size.
+
+    Semantics: pairs that share ≥1 MinHash band AND have exact Jaccard ≥
+    ``threshold`` — the standard LSH candidate-then-verify contract.  The
+    DuckDB oracle reproduces the identical candidate set from the same
+    (a, b) coefficients.
+    """
+    pairs = minhash_lsh_pairs(
+        df,
+        text_col,
+        id_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle_k=shingle_k,
+        seed=seed,
+        max_bucket_size=max_bucket_size,
+    )
+    toks = tokenize_column(F.col(text_col))
+    sets = df.select(
+        F.col(id_col).alias("doc_id"),
+        word_shingles(toks, shingle_k).alias("sset"),
+    ).where(F.size("sset") > 0)
+    joined = (
+        pairs.join(
+            sets.select(F.col("doc_id").alias("doc_a"), F.col("sset").alias("set_a")),
+            on="doc_a",
+        )
+        .join(
+            sets.select(F.col("doc_id").alias("doc_b"), F.col("sset").alias("set_b")),
+            on="doc_b",
+        )
+    )
+    inter = F.size(F.array_intersect(F.col("set_a"), F.col("set_b")))
+    union = F.size(F.array_union(F.col("set_a"), F.col("set_b")))
+    return (
+        joined.select(
+            "doc_a",
+            "doc_b",
+            (inter.cast("double") / union.cast("double")).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str,

@@ -122,16 +122,21 @@ def minhash_hashes_cte(
     )
 
 
-def minhash_lsh_pairs_sql(
-    table: str = "documents",
-    id_col: str = "doc_id",
-    text: str = "text",
+def _minhash_candidate_ctes(
+    table: str,
+    id_col: str,
+    text: str,
     *,
-    num_hashes: int = dedup.DEFAULT_NUM_HASHES,
-    bands: int = dedup.DEFAULT_BANDS,
-    shingle_k: int = dedup.DEFAULT_SHINGLE_K,
-    seed: int = 42,
+    num_hashes: int,
+    bands: int,
+    shingle_k: int,
+    seed: int,
+    max_bucket_size: int | None,
 ) -> str:
+    """CTE chain ending in ``cand(doc_a, doc_b)`` — the banded MinHash
+    candidate pairs, mirroring dedup.minhash_lsh_pairs including the
+    degenerate-bucket cap (buckets larger than ``max_bucket_size`` dropped
+    BEFORE pair expansion, exactly like the Spark left-semi filter)."""
     rows_per_band = num_hashes // bands
     sig = minhash_signature_sql(text, num_hashes=num_hashes, shingle_k=shingle_k, seed=seed)
     band_rows = " union all ".join(
@@ -143,13 +148,88 @@ def minhash_lsh_pairs_sql(
         )
         for bi in range(bands)
     )
-    return f"""
-with hashes_t as ({minhash_hashes_cte(table, id_col, text, shingle_k=shingle_k)}),
+    cap_ctes = ""
+    bands_src = "bands_t"
+    if max_bucket_size is not None:
+        cap_ctes = f""",
+bands_ok as (
+  select band, band_key from bands_t group by band, band_key
+  having count(*) <= {max_bucket_size}
+),
+bands_f as (select b.* from bands_t b join bands_ok using (band, band_key))"""
+        bands_src = "bands_f"
+    return f"""hashes_t as ({minhash_hashes_cte(table, id_col, text, shingle_k=shingle_k)}),
 sigs as (select doc_id, {sig} as sig from hashes_t where len(hashes) > 0),
-bands_t as ({band_rows})
-select distinct l.doc_id as doc_a, r.doc_id as doc_b
-from bands_t l join bands_t r
-  on l.band = r.band and l.band_key = r.band_key and l.doc_id < r.doc_id
+bands_t as ({band_rows}){cap_ctes},
+cand as (
+  select distinct l.doc_id as doc_a, r.doc_id as doc_b
+  from {bands_src} l join {bands_src} r
+    on l.band = r.band and l.band_key = r.band_key and l.doc_id < r.doc_id
+)"""
+
+
+def minhash_lsh_pairs_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text: str = "text",
+    *,
+    num_hashes: int = dedup.DEFAULT_NUM_HASHES,
+    bands: int = dedup.DEFAULT_BANDS,
+    shingle_k: int = dedup.DEFAULT_SHINGLE_K,
+    seed: int = 42,
+    max_bucket_size: int | None = 1000,
+) -> str:
+    ctes = _minhash_candidate_ctes(
+        table,
+        id_col,
+        text,
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle_k=shingle_k,
+        seed=seed,
+        max_bucket_size=max_bucket_size,
+    )
+    return f"with {ctes}\nselect doc_a, doc_b from cand"
+
+
+def ngram_jaccard_minhash_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text: str = "text",
+    *,
+    shingle_k: int = 1,
+    threshold: float = 0.3,
+    num_hashes: int = dedup.DEFAULT_NUM_HASHES,
+    bands: int = dedup.DEFAULT_BANDS,
+    seed: int = 42,
+    max_bucket_size: int | None = 1000,
+) -> str:
+    """Exact Jaccard over MinHash-banded candidates
+    (dedup.ngram_jaccard_pairs_minhash)."""
+    ctes = _minhash_candidate_ctes(
+        table,
+        id_col,
+        text,
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle_k=shingle_k,
+        seed=seed,
+        max_bucket_size=max_bucket_size,
+    )
+    toks = tokens_sql(text)
+    sh = shingles_sql(toks, shingle_k)
+    return f"""
+with {ctes},
+sets as (
+  select {id_col} as doc_id, {sh} as sset from {table}
+),
+flt as (select * from sets where len(sset) > 0)
+select c.doc_a, c.doc_b,
+       len(list_intersect(a.sset, b.sset))::DOUBLE / len(list_distinct(a.sset || b.sset)) as jaccard
+from cand c
+  join flt a on a.doc_id = c.doc_a
+  join flt b on b.doc_id = c.doc_b
+where len(list_intersect(a.sset, b.sset))::DOUBLE / len(list_distinct(a.sset || b.sset)) >= {threshold}
 """
 
 
@@ -254,3 +334,119 @@ def cosine_sql(vec_a: str, vec_b: str) -> str:
     na = f"sqrt(list_sum(list_transform({vec_a}, x -> x::DOUBLE * x::DOUBLE)))"
     nb = f"sqrt(list_sum(list_transform({vec_b}, x -> x::DOUBLE * x::DOUBLE)))"
     return f"({dot}) / (({na}) * ({nb}))"
+
+
+# --- random-hyperplane LSH (extras/similarity.py) ----------------------------
+
+
+def rp_sig_ctes(planes, table: str = "embeddings", id_col: str = "vec_id", vec: str = "embedding") -> str:
+    """CTE chain ending in ``sigs(vec_id, sig)`` — the sign-bit RP-LSH
+    signature from the SAME plane matrix similarity.rp_planes produced
+    (full-precision float64 literals, bit j set iff dot(vec, plane_j) > 0)."""
+    values = ",\n    ".join(
+        "({j}, [{vals}]::DOUBLE[])".format(
+            j=j, vals=", ".join(repr(float(x)) for x in row)
+        )
+        for j, row in enumerate(planes)
+    )
+    dot = f"list_sum(list_transform(range(1, len({vec}) + 1), i -> ({vec})[i]::DOUBLE * plane[i]))"
+    return f"""pl as (select * from (values
+    {values}) as t(j, plane)),
+sigs as (
+  select {id_col} as vec_id,
+         sum(case when {dot} > 0 then (1::BIGINT << j) else 0 end)::BIGINT as sig
+  from {table} cross join pl
+  group by {id_col}
+)"""
+
+
+def rp_lsh_topk_sql(
+    planes,
+    *,
+    k: int,
+    max_probe_hamming: int = 2,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+    query_id: int = 0,
+) -> str:
+    """similarity.rp_lsh_topk: probe buckets within hamming distance of the
+    query's signature, exact cosine over the probed slice, top-k."""
+    cos = cosine_sql(vec, "qv")
+    return f"""
+with {rp_sig_ctes(planes, table, id_col, vec)},
+q as (select {vec} as qv from {table} where {id_col} = {query_id}),
+qsig as (select sig as qs from sigs where vec_id = {query_id}),
+probed as (
+  select e.{id_col} as vec_id, e.{vec} as {vec}
+  from {table} e join sigs s on s.vec_id = e.{id_col} cross join qsig
+  where bit_count(xor(s.sig, qsig.qs)) <= {max_probe_hamming}
+),
+scored as (select vec_id, {cos} as c from probed cross join q)
+select vec_id, round(c, 6) as cosine
+from scored
+order by c desc, vec_id asc
+limit {k}
+"""
+
+
+def rp_band_near_pairs_sql(
+    planes,
+    *,
+    threshold: float,
+    n_planes: int = 16,
+    bands: int = 4,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+) -> str:
+    """similarity.rp_band_near_pairs: banded signature equi-join candidates,
+    exact cosine verify."""
+    width = n_planes // bands
+    mask = (1 << width) - 1
+    cos = cosine_sql("a." + vec, "b." + vec)
+    return f"""
+with {rp_sig_ctes(planes, table, id_col, vec)},
+chunks as (
+  select vec_id, j as band, (sig >> (j * {width})) & {mask} as bits
+  from sigs cross join (select unnest(range(0, {bands})) as j) bj
+),
+cand as (
+  select distinct l.vec_id as id_a, r.vec_id as id_b
+  from chunks l join chunks r
+    on l.band = r.band and l.bits = r.bits and l.vec_id < r.vec_id
+),
+scored as (
+  select c.id_a, c.id_b, {cos} as cos
+  from cand c join {table} a on a.{id_col} = c.id_a join {table} b on b.{id_col} = c.id_b
+)
+select id_a, id_b, round(cos, 6) as cosine
+from scored where cos >= {threshold}
+"""
+
+
+def simhash_near_pairs_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text: str = "text",
+    *,
+    max_hamming: int = 3,
+    bands: int = 5,
+) -> str:
+    """dedup.simhash_near_pairs: pigeonhole banding over the 60-bit simhash."""
+    width = dedup.SIMHASH_BITS // bands
+    mask = (1 << width) - 1
+    return f"""
+with sh as ({simhash_sql(table, id_col, text)}),
+chunks as (
+  select doc_id, simhash, j as chunk, (simhash >> (j * {width})) & {mask} as val
+  from sh cross join (select unnest(range(0, {bands})) as j) bj
+),
+cand as (
+  select distinct l.doc_id as doc_a, r.doc_id as doc_b,
+         bit_count(xor(l.simhash, r.simhash))::BIGINT as hamming
+  from chunks l join chunks r
+    on l.chunk = r.chunk and l.val = r.val and l.doc_id < r.doc_id
+)
+select doc_a, doc_b, hamming from cand where hamming <= {max_hamming}
+"""

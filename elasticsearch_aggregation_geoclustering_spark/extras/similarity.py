@@ -123,6 +123,82 @@ def rp_signature_column(vec: Column, planes: np.ndarray) -> Column:
     return _sig(vec)
 
 
+def rp_band_near_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    threshold: float = 0.95,
+    n_planes: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding near-duplicate pairs via banded RP-LSH blocking (scale path).
+
+    Candidate pairs are those agreeing exactly on ≥1 signature band (an
+    equi-join on ``(band, band_bits)`` — never a cross join); candidates are
+    then scored with the exact cosine and filtered by ``threshold``.  This is
+    the 100 TB shape of ``cosine_near_pairs``: shuffle keys are uniform sign
+    bits, pair generation is bounded by bucket co-membership, and recall is
+    tunable via bands/planes (more bands → higher recall, more candidates).
+
+    Signature bits use a FIXED plane set per (dim, n_planes, seed), so the
+    DuckDB oracle reproduces the exact candidate set from the same constants.
+    """
+    if n_planes % bands:
+        raise ValueError("n_planes must divide evenly into bands")
+    width = n_planes // bands
+    mask = (1 << width) - 1
+    dim = len(df.select(vec_col).first()[0])
+    planes = rp_planes(dim, n_planes, seed)
+    # band rows carry ONLY (vid, band, bits): the candidate join never
+    # shuffles a vector; vectors rejoin by uniform id after pair dedup
+    sigrows = df.select(
+        F.col(id_col).alias("vid"),
+        rp_signature_column(F.col(vec_col), planes).alias("_sig"),
+    ).select(
+        "vid",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright(F.col("_sig"), i * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bits"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("c"),
+    ).select("vid", F.col("c.band").alias("band"), F.col("c.bits").alias("bits"))
+    l, r = sigrows.alias("l"), sigrows.alias("r")
+    cand = (
+        l.join(
+            r,
+            on=[
+                F.col("l.band") == F.col("r.band"),
+                F.col("l.bits") == F.col("r.bits"),
+                F.col("l.vid") < F.col("r.vid"),
+            ],
+        )
+        .select(F.col("l.vid").alias("id_a"), F.col("r.vid").alias("id_b"))
+        .distinct()
+    )
+    vecs = df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
+    pairs = (
+        cand.join(vecs.select(F.col("vid").alias("id_a"), F.col("vec").alias("vec_a")), on="id_a")
+        .join(vecs.select(F.col("vid").alias("id_b"), F.col("vec").alias("vec_b")), on="id_b")
+    )
+    cos = _dot(F.col("vec_a"), F.col("vec_b")) / (
+        F.sqrt(_dot(F.col("vec_a"), F.col("vec_a")))
+        * F.sqrt(_dot(F.col("vec_b"), F.col("vec_b")))
+    )
+    return pairs.select("id_a", "id_b", cos.alias("cosine")).where(
+        F.col("cosine") >= threshold
+    )
+
+
 def rp_lsh_topk(
     df: DataFrame,
     id_col: str,

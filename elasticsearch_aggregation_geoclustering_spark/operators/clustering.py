@@ -151,6 +151,8 @@ def geo_cell_aggregate(
     zoom: int = 1,
     *,
     quantize_wire: bool = False,
+    shard_parity: bool = False,
+    shard_col: str | None = None,
     metrics: dict[str, Column] | None = None,
     **params,
 ) -> DataFrame:
@@ -160,9 +162,17 @@ def geo_cell_aggregate(
     <metrics...>)`` — the candidate buckets before truncation and merge.
     This is the SQL-checkable core (P5, P7, P8/P9/P12 fused into one
     groupBy); callers chain ``.orderBy(F.desc("cell")).limit(size)`` for P13.
+
+    ``shard_parity=True`` (P10) truncates each shard's cells to the plan's
+    shard_size largest keys before the reduce, reproducing ES multi-shard
+    output when #cells/shard > shard_size; exact mode (default) is strictly
+    more accurate.  The shard is the physical partition unless ``shard_col``
+    names an explicit shard-id column (deterministic, oracle-checkable).
     """
     plan = plan_clustering(zoom, **params)
-    return _cell_aggregate(df, lon_col, lat_col, plan, quantize_wire, metrics)
+    return _cell_aggregate(
+        df, lon_col, lat_col, plan, quantize_wire, metrics, shard_parity, shard_col
+    )
 
 
 def _cell_aggregate(
@@ -172,17 +182,20 @@ def _cell_aggregate(
     plan: ClusteringPlan,
     quantize_wire: bool,
     metrics: dict[str, Column] | None,
+    shard_parity: bool = False,
+    shard_col: str | None = None,
 ) -> DataFrame:
     metrics = metrics or {}
     base = df.select(
         cell_column(F.col(lon_col), F.col(lat_col), plan.precision).alias("cell"),
         F.col(lat_col).cast("double").alias("_lat"),
         F.col(lon_col).cast("double").alias("_lon"),
+        *([F.col(shard_col).alias("_shard")] if shard_col else []),
         *[expr.alias(f"_m_{name}") for name, expr in metrics.items()],
     )
     metric_aggs = [F.sum(f"_m_{name}").alias(name) for name in metrics]
 
-    if not quantize_wire:
+    if not quantize_wire and not shard_parity:
         return base.groupBy("cell").agg(
             F.count(F.lit(1)).alias("doc_count"),
             (F.sum("_lat") / F.count(F.lit(1))).alias("centroid_lat"),
@@ -190,10 +203,19 @@ def _cell_aggregate(
             *metric_aggs,
         )
 
-    # Parity mode: per-partition partials with quantized centroids (the
-    # reference's shard → coordinator wire format), then weighted combine.
+    # Parity modes reproduce the reference's shard → coordinator protocol:
+    # per-partition ("shard") partials, optionally quantized to the Lucene
+    # wire grid (quantize_wire, InternalGeoPointClustering.java:54-73) and/or
+    # truncated to the shard_size largest cell keys BEFORE the reduce
+    # (shard_parity, GeoPointClusteringAggregator.java:206-244 — a shard with
+    # more than shard_size occupied cells drops the smallest keys, which the
+    # exact mode never does), then doc-count-weighted combine.
+    # the "shard" is the physical partition by default (ES shard == data
+    # split); an explicit shard_col makes the protocol deterministic for
+    # oracle checks and for callers with a logical shard key
+    shard_expr = F.col("_shard") if shard_col else F.spark_partition_id()
     partial = (
-        base.withColumn("_pid", F.spark_partition_id())
+        base.withColumn("_pid", shard_expr)
         .groupBy("cell", "_pid")
         .agg(
             F.count(F.lit(1)).alias("_cnt"),
@@ -202,8 +224,22 @@ def _cell_aggregate(
             *[F.sum(f"_m_{name}").alias(f"_m_{name}") for name in metrics],
         )
     )
-    qlat, qlon = _quantize_centroid(F.col("_plat"), F.col("_plon"))
-    partial = partial.withColumn("_qlat", qlat).withColumn("_qlon", qlon)
+    if shard_parity:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("_pid").orderBy(F.desc("cell"))
+        partial = (
+            partial.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= plan.shard_size)
+            .drop("_rn")
+        )
+    if quantize_wire:
+        qlat, qlon = _quantize_centroid(F.col("_plat"), F.col("_plon"))
+        partial = partial.withColumn("_qlat", qlat).withColumn("_qlon", qlon)
+    else:
+        partial = partial.withColumn("_qlat", F.col("_plat")).withColumn(
+            "_qlon", F.col("_plon")
+        )
     return partial.groupBy("cell").agg(
         F.sum("_cnt").alias("doc_count"),
         (F.sum(F.col("_qlat") * F.col("_cnt")) / F.sum("_cnt")).alias("centroid_lat"),
@@ -235,7 +271,10 @@ class ClusteringResult:
 _RESULT_SCHEMA = StructType(
     [
         StructField("key", StringType()),
-        StructField("geohash_grids", ArrayType(StringType())),
+        # rendered as a comma-joined sorted scalar, not array<string>: flat
+        # columns sort/compare everywhere (the driver gate canonicalizes by
+        # sorting every column; JSON consumers get the array via to_buckets)
+        StructField("geohash_grids", StringType()),
         StructField("doc_count", LongType()),
         StructField("centroid_lat", DoubleType()),
         StructField("centroid_lon", DoubleType()),
@@ -250,6 +289,7 @@ def geo_point_clustering(
     zoom: int = 1,
     *,
     quantize_wire: bool = False,
+    shard_parity: bool = False,
     metrics: dict[str, Column] | None = None,
     sample_fraction: float | None = None,
     sample_seed: int = 42,
@@ -275,7 +315,7 @@ def geo_point_clustering(
         if sample_fraction < 1:
             df = df.sample(fraction=sample_fraction, seed=sample_seed)
 
-    cells_df = _cell_aggregate(df, lon_col, lat_col, plan, quantize_wire, metrics)
+    cells_df = _cell_aggregate(df, lon_col, lat_col, plan, quantize_wire, metrics, shard_parity)
     rows = (
         cells_df.orderBy(F.desc("cell")).limit(plan.size).collect()
     )  # TakeOrderedAndProject; ≤ size rows reach the driver
@@ -293,7 +333,8 @@ def geo_point_clustering(
     clusters = merge_clusters(candidates, plan.radius_m, plan.ratio)
     if sample_fraction is not None and sample_fraction < 1:
         for c in clusters:
-            c.doc_count = int(c.doc_count / sample_fraction)
+            # SamplingContext.scaleUp rounds (Math.round), not truncates
+            c.doc_count = int(round(c.doc_count / sample_fraction))
             c.metrics = {k: v / sample_fraction for k, v in c.metrics.items()}
     return ClusteringResult(plan=plan, clusters=clusters)
 
@@ -303,7 +344,14 @@ def clusters_to_dataframe(spark: SparkSession, result: ClusteringResult) -> Data
     data = [
         (
             str(geohash.string_encode_from_long(np.array([c.cell]))[0]),
-            [str(s) for s in geohash.string_encode_from_long(np.array(c.cells, dtype=np.int64))],
+            ",".join(
+                sorted(
+                    str(s)
+                    for s in geohash.string_encode_from_long(
+                        np.array(c.cells, dtype=np.int64)
+                    )
+                )
+            ),
             c.doc_count,
             c.lat,
             c.lon,

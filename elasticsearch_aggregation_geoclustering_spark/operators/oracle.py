@@ -24,6 +24,7 @@ def cluster_points_oracle(
     lons: np.ndarray,
     lats: np.ndarray,
     zoom: int,
+    merge_fn=merge_clusters,
     **params,
 ) -> list[Cluster]:
     """Cluster raw points exactly like the reference aggregation.
@@ -60,4 +61,4 @@ def cluster_points_oracle(
         )
         for i in desc
     ]
-    return merge_clusters(candidates, plan.radius_m, plan.ratio)
+    return merge_fn(candidates, plan.radius_m, plan.ratio)

