@@ -128,11 +128,27 @@ def main() -> None:
     timed("dedup_exact", lambda: dedup.exact_dup_groups(docs, "text", "doc_id").count())
     timed("dedup_minhash_lsh", lambda: dedup.minhash_lsh_pairs(docs, "text", "doc_id").count())
     timed("dedup_simhash", lambda: dedup.simhash(docs, "text", "doc_id").count())
+    timed(
+        "dedup_ngram_minhash",
+        lambda: dedup.ngram_jaccard_pairs_minhash(
+            docs, "text", "doc_id", shingle_k=1, threshold=0.25
+        ).count(),
+    )
+    timed(
+        "dedup_simhash_pairs",
+        lambda: dedup.simhash_near_pairs(docs, "text", "doc_id").count(),
+    )
 
     # 5) similarity search
     qv = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
     timed("ann_cosine_topk", lambda: similarity.cosine_topk(emb, "vec_id", "embedding", qv, 10).collect())
     timed("ann_lsh_topk", lambda: similarity.rp_lsh_topk(emb, "vec_id", "embedding", qv, 10).collect())
+    timed(
+        "ann_band_near_dup",
+        lambda: similarity.rp_band_near_pairs(
+            emb, "vec_id", "embedding", threshold=0.4
+        ).count(),
+    )
 
     # 6) text analysis
     timed("text_quality", lambda: textstats.quality_features(docs, "text", "doc_id").count())

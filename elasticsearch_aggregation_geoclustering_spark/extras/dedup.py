@@ -347,6 +347,12 @@ def ngram_jaccard_pairs_minhash(
     ``threshold`` — the standard LSH candidate-then-verify contract.  The
     DuckDB oracle reproduces the identical candidate set from the same
     (a, b) coefficients.
+
+    Plan note: the tokenize→shingle chain appears in three subplans (the
+    band rows, reused across the self-join via ReusedExchange, plus the two
+    set rejoins).  At corpus scale, persist or pre-materialize the shingle
+    sets table if tokenization dominates — the join structure itself stays
+    linear either way.
     """
     pairs = minhash_lsh_pairs(
         df,

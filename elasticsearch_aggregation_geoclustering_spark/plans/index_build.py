@@ -1,55 +1,75 @@
 """Batch inverted-index build: documents DataFrame -> segmented postings.
 
 The Spark-first shape of Elasticsearch's bulk-index path (SURVEY.md §3.2),
-designed so the FULL data (the large ``content`` column) is read once and
-shuffled exactly twice, with everything else riding cheap column-pruned jobs:
+designed so the LARGE column (``content``) is read once, never shuffled, and
+never persisted — everything global rides key-only column-pruned jobs:
 
-1. **docID assignment** — dense rank over the natural key
-   ``(repo, path, commit)``, the deterministic BM25 tie-break order.  A
-   window over an unpartitioned ORDER BY would serialize on one task, so we
-   use the scalable two-pass idiom: ``repartitionByRange`` on the key (global
-   range sort), count rows per partition on a KEY-ONLY projection (Catalyst
-   prunes ``content`` out of this shuffle), broadcast the partition offsets,
-   then assign ``offset[pid] + local_row`` inside ``mapInPandas``.  The rank
-   depends only on the global key order — never on where the range
-   boundaries fall — so ids are deterministic across runs and parallelisms.
-2. **segmenting** — ``seg_id = doc_id // docs_per_segment``: contiguous,
-   disjoint docID ranges, the analog of Lucene segments.  Because segments
-   partition by DOCUMENT, not by term, no term-keyed shuffle ever carries
-   raw postings, so Zipf-hot terms ("the", "import") cannot concentrate on
-   one reducer — each segment holds at most ``docs_per_segment`` entries of
-   any term.  (The term-keyed shuffles that do exist — global df stats and
-   segment merging — aggregate/are bucketed per segment, i.e. pre-salted;
-   see merge_segments.)
-3. **segment build** — one ``applyInPandas`` group per segment: tokenize
-   (vectorized pandas), per-doc term frequencies, delta+varbyte pack, write
-   one postings parquet sorted by term (row-group stats prune term lookups)
-   PLUS the segment's docmap part (doc_id, keys, sha256, extras) — both
-   atomic, deterministic bytes — and return a manifest row with lineage +
-   metrics.  Doc lengths are denormalized into each posting (``dls_vb``) —
-   Lucene-norm style — so scoring never joins a doc-length table.
-4. **global stats** — ``groupBy(term).sum(df)`` over the per-segment df
-   rows (tiny: one row per distinct (term, segment), column-pruned to two
-   columns), plus N/avgdl.
+1. **deterministic key buckets** — two cheap jobs over ONLY the natural-key
+   columns (Catalyst prunes ``content`` out of both scans): a fixed-seed
+   sample picks ~equi-depth key boundaries on the driver, and a
+   ``groupBy(bucket).count()`` yields exact per-bucket row counts.  The
+   bucket is a PURE FUNCTION of the key (a chain of struct comparisons
+   against literal boundaries), so — unlike ``repartitionByRange``'s
+   per-action sampled boundaries — every job in the build sees the same
+   assignment without persisting anything.  Cumulative bucket counts give
+   each bucket's starting docID; docIDs depend only on the global key order,
+   never on where boundaries fall, so ids are identical across runs and
+   parallelism levels (resume-stable).
+2. **tokenize placement is a measured choice** (``pack_before_shuffle``):
+   by default tokenization runs fused inside the segment builder (one Python
+   stage per doc — fastest when Python CPU is the bottleneck, e.g. local
+   shuffle through the page cache); with ``pack_before_shuffle=True`` a
+   map-side ``mapInPandas`` collapses each doc to flat packed rows
+   (space-joined sorted-unique terms blob + varbyte tf bytes + sha256) and
+   DROPS the raw content before the shuffle — the right trade when the
+   shuffle crosses a real network and content bytes dominate the wire.
+   Segment bytes are identical in both modes (tested).
+3. **segmenting** — ``seg_id = doc_id // docs_per_segment``: contiguous,
+   disjoint docID ranges, the analog of Lucene segments.  Segments partition
+   by DOCUMENT, not by term, so Zipf-hot terms ("the", "import") cannot
+   concentrate on one reducer — each segment holds at most
+   ``docs_per_segment`` entries of any term (structural salting; see
+   merge_segments for the bucketed term-keyed merge).
+4. **segment build** — the ONE full-data job: rows arrive range-partitioned
+   by bucket and sorted by key; a bucket's rows all land in one partition, so
+   per-bucket running counters reproduce the exact global docIDs in-stream.
+   Every segment fully contained in the partition is built in place (postings
+   parquet sorted by term + docmap part + manifest part, atomic deterministic
+   bytes); only the ≤2 boundary partial segments per partition are emitted
+   into a tiny ``groupBy(seg_id)`` fragment shuffle.  Doc lengths are
+   denormalized into each posting (``dls_vb``) — Lucene-norm style — so
+   scoring never joins a doc-length table.
+5. **global stats** — ``groupBy(term).sum(df)`` over the per-segment df rows
+   (tiny: one row per distinct (term, segment)), written range-partitioned by
+   term (parallel writers, per-file sorted order, min/max pruning intact).
 
 Resumability (north_rule): completed segment ids are recorded in
-``manifest.json`` and filtered out of step 3 on re-run; files are written
+``manifest.json`` and filtered out of step 4 on re-run; files are written
 atomically with deterministic bytes and sha256 recorded
 (tests/test_index_build.py asserts byte-identical resume).
+
+Scale notes: the bucket expression is O(#buckets) struct comparisons per row
+(#buckets = 2·partitions); at many thousands of target partitions switch the
+assignment to a range-join against a broadcast boundary table instead.  The
+two key-only jobs are metadata-cheap on columnar sources at any scale.
 """
 
 from __future__ import annotations
 
 import os
 
-
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import codec
-from ..functions.tokenizer import TOKENIZER_VERSION, doc_term_frequencies
+from ..functions.tokenizer import (
+    TOKENIZER_VERSION,
+    doc_term_frequencies,
+    pack_term_frequencies,
+    packed_term_frequencies,
+)
 from ..sources import segments as seg_store
 from ..sources.segments import (
     SEGMENT_MANIFEST_SPARK_SCHEMA,
@@ -60,90 +80,151 @@ from ..sources.segments import (
 )
 
 DEFAULT_DOCS_PER_SEGMENT = 8192
+_SAMPLES_PER_BUCKET = 48
 
 
-def _ranged_with_pid(df: DataFrame, key_cols: tuple[str, ...], num_partitions: int) -> DataFrame:
-    """Range-partition + sort by key, tagged with the partition id.
+def _key_struct(key_cols: tuple[str, ...]) -> Column:
+    return F.struct(*[F.col(c) for c in key_cols])
 
-    MUST be persisted before running more than one action over it:
-    ``repartitionByRange`` samples its range boundaries with a seed derived
-    from the RDD id, so two separate jobs over the same *lineage* can place
-    rows in DIFFERENT partitions.  Anything that collects per-partition counts
-    in one job and applies them in another (doc_id assignment, the segment
-    build) would silently corrupt ids without the persist.  MEMORY_AND_DISK
-    pins one materialized partitioning that every downstream action reuses —
-    at cluster scale this is one extra local spill of the data, the price of
-    a deterministic two-phase prefix sum.  (On a real cluster with executor
-    loss, use a reliable checkpoint instead; recomputation after block loss
-    would re-sample the boundaries.)
+
+def _sample_key_boundaries(
+    df: DataFrame,
+    key_cols: tuple[str, ...],
+    n_rows: int,
+    n_buckets: int,
+    seed: int = 42,
+) -> list[tuple]:
+    """~Equi-depth key boundaries from a fixed-seed key-only sample.
+
+    Returns at most ``n_buckets - 1`` strictly increasing key tuples; rows
+    with key <= boundaries[i] (and > boundaries[i-1]) fall in bucket i.
+    Boundary *placement* only affects balance — docIDs are invariant to it.
     """
-    from pyspark import StorageLevel
-
-    keys = [F.col(c) for c in key_cols]
-    ranged = (
-        df.repartitionByRange(num_partitions, *keys)
-        .sortWithinPartitions(*keys)
-        .withColumn("_pid", F.spark_partition_id())
+    if n_rows == 0 or n_buckets <= 1:
+        return []
+    target = n_buckets * _SAMPLES_PER_BUCKET
+    fraction = min(1.0, (target * 1.2) / n_rows)
+    keys = sorted(
+        tuple(r) for r in df.select(*key_cols).sample(fraction=fraction, seed=seed).collect()
     )
-    return ranged.persist(StorageLevel.MEMORY_AND_DISK)
+    if not keys:
+        return []
+    bounds: list[tuple] = []
+    for i in range(1, n_buckets):
+        cand = keys[min(int(i * len(keys) / n_buckets), len(keys) - 1)]
+        if not bounds or cand > bounds[-1]:
+            bounds.append(cand)
+    return bounds
 
 
-def _partition_offsets(ranged: DataFrame) -> tuple[dict[int, int], dict[int, int], int]:
-    """Rows-before-this-partition offsets + total count.
+def _bucket_column(
+    key_cols: tuple[str, ...], bounds: list[tuple], dtypes: dict[str, str]
+) -> Column:
+    """bucket(key) = #{boundaries < key} — a pure, literal-folded expression.
 
-    Catalyst prunes every column but ``_pid`` out of this job, so the shuffle
-    carries only the range keys — cheap even when ``content`` is huge.
+    Boundary literals are cast to the key columns' exact types so the struct
+    comparison resolves (lit(int) would otherwise be int32 vs a bigint key).
     """
-    counts = {
-        r["_pid"]: r["cnt"]
-        for r in ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
-    }
+    ks = _key_struct(key_cols)
+    b: Column = F.lit(0)
+    for t in bounds:
+        lit_struct = F.struct(
+            *[F.lit(v).cast(dtypes[c]) for c, v in zip(key_cols, t)]
+        )
+        b = b + (ks > lit_struct).cast("int")
+    return b.cast("int")
+
+
+def _bucket_offsets(counts: dict[int, int]) -> dict[int, int]:
+    """Cumulative starting docID per bucket (bucket-ascending prefix sum)."""
     offsets: dict[int, int] = {}
     acc = 0
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
-    return offsets, counts, acc
-
-
-_MID_LOCAL_MASK = (1 << 33) - 1  # monotonically_increasing_id = pid<<33 | local_row
-
-
-def _with_doc_ids(ranged: DataFrame, offsets: dict[int, int]) -> DataFrame:
-    """doc_id = offset[partition] + local row index — pure JVM, no Python pass.
-
-    ``monotonically_increasing_id`` is exactly ``(pid << 33) | local_row``
-    with local_row counted in evaluation order, i.e. the sortWithinPartitions
-    order — so offset + low-33-bits is the global dense rank.  The offsets
-    literal map is one entry per range partition (broadcast-sized; switch to
-    a broadcast join if partition counts ever reach millions).
-    """
-    offset_map = F.create_map(
-        *[F.lit(x) for pid in sorted(offsets) for x in (pid, offsets[pid])]
-    )
-    mid = F.monotonically_increasing_id()
-    doc_id = (
-        F.coalesce(F.element_at(offset_map, F.col("_pid")), F.lit(0))
-        + mid.bitwiseAND(F.lit(_MID_LOCAL_MASK))
-    ).alias("doc_id")
-    rest = [c for c in ranged.columns if c != "_pid"]
-    return ranged.select(doc_id, *rest)
+    for b in sorted(counts):
+        offsets[b] = acc
+        acc += counts[b]
+    return offsets
 
 
 def assign_doc_ids(
     df: DataFrame, key_cols: tuple[str, ...], num_partitions: int | None = None
 ) -> DataFrame:
-    """Dense rank over ``key_cols`` without a single-task window.
+    """Dense rank over ``key_cols`` without a single-task window or persist.
 
     Requires the key to be unique per row (true for (repo, path, commit)).
-    The returned DataFrame reads a persisted partitioning (see
-    _ranged_with_pid) — every action over it sees the same consistent ids.
-    The cache is released by ``spark.catalog.clearCache()`` or session end.
+    Deterministic by construction: the bucket is a pure function of the key
+    and the per-bucket offsets are exact counts, so every action over the
+    result sees the same ids (no reliance on how any shuffle sampled its
+    boundaries).
     """
     num_partitions = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    ranged = _ranged_with_pid(df, key_cols, num_partitions)
-    offsets, _counts, _ = _partition_offsets(ranged)
-    return _with_doc_ids(ranged, offsets)
+    n_rows = df.select(*key_cols).count()
+    bounds = _sample_key_boundaries(df, key_cols, n_rows, 2 * num_partitions)
+    bexpr = _bucket_column(key_cols, bounds, dict(df.dtypes))
+    counts = {
+        r["_b"]: r["cnt"]
+        for r in df.select(bexpr.alias("_b"))
+        .groupBy("_b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    offsets = _bucket_offsets(counts)
+    ranged = (
+        df.withColumn("_b", bexpr)
+        .repartitionByRange(num_partitions, "_b")
+        .sortWithinPartitions("_b", *[F.col(c) for c in key_cols])
+    )
+    out_cols = [c for c in df.columns]
+    schema = ", ".join(
+        ["doc_id long"] + [f"`{n}` {t}" for n, t in ranged.drop("_b").dtypes]
+    )
+
+    def run(batches):
+        next_id: dict[int, int] = {}
+        for raw in batches:
+            if raw.empty:
+                continue
+            ids = _assign_ids_for_batch(raw["_b"].to_numpy(np.int64), next_id, offsets)
+            pdf = raw.drop(columns=["_b"])
+            pdf.insert(0, "doc_id", ids)
+            yield pdf
+
+    return ranged.mapInPandas(run, schema).select("doc_id", *out_cols)
+
+
+def _assign_ids_for_batch(
+    bvals: np.ndarray, next_id: dict[int, int], offsets: dict[int, int]
+) -> np.ndarray:
+    """Global docIDs for one sorted batch via per-bucket running counters.
+
+    All rows of a bucket live in one partition (range partitioning cannot
+    split equal values), arrive bucket- and key-sorted, and bucket offsets
+    are cumulative exact counts — so ``offset[b] + seen[b]`` IS the global
+    dense rank.
+    """
+    ids = np.empty(len(bvals), dtype=np.int64)
+    change = np.flatnonzero(np.concatenate(([True], bvals[1:] != bvals[:-1])))
+    ends = np.concatenate((change[1:], [len(bvals)]))
+    for s, e in zip(change, ends):
+        b = int(bvals[s])
+        start = next_id.get(b, offsets[b])
+        ids[s:e] = np.arange(start, start + (e - s), dtype=np.int64)
+        next_id[b] = start + int(e - s)
+    return ids
+
+
+def _pack_fn(content_col: str, passthrough: list[str]):
+    """mapInPandas: tokenize + collapse to flat packed term rows; DROP content."""
+
+    def run(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            packed = pack_term_frequencies(pdf[content_col])
+            out = pdf[passthrough].reset_index(drop=True)
+            out[["terms_blob", "tfs_vb", "n_terms"]] = packed
+            yield out
+
+    return run
 
 
 def _build_one_segment(
@@ -153,9 +234,12 @@ def _build_one_segment(
     content_col: str,
     docmap_cols: tuple[str, ...],
 ) -> dict:
-    """Tokenize + pack one segment; write postings + docmap part atomically;
-    return the manifest/lineage dict.  Shared by the interior (in-partition)
-    and fragment (shuffled-boundary) build paths — identical bytes either way.
+    """Pack one segment; write postings + docmap part atomically; return the
+    manifest/lineage dict.  Shared by the interior (in-partition) and
+    fragment (shuffled-boundary) build paths — identical bytes either way.
+    Accepts either raw content (fused tokenize path) or pre-packed term rows
+    (pack_before_shuffle path); both yield the same tf frame, so segment
+    bytes are identical across the two modes.
     """
     import pyarrow as pa
 
@@ -163,12 +247,13 @@ def _build_one_segment(
     pdf = pdf.sort_values("doc_id").reset_index(drop=True)
     doc_ids = pdf["doc_id"].to_numpy(np.int64)
 
-    tf_frame = doc_term_frequencies(pdf[content_col])
-    # doc length per positional row, then per doc_id
+    if "terms_blob" in pdf.columns:
+        tf_frame = packed_term_frequencies(pdf["terms_blob"], pdf["tfs_vb"], pdf["n_terms"])
+    else:
+        tf_frame = doc_term_frequencies(pdf[content_col])
     dl_by_row = np.zeros(len(pdf), dtype=np.int64)
     if not tf_frame.empty:
-        dl_sums = tf_frame.groupby("row")["tf"].sum()
-        dl_by_row[dl_sums.index.to_numpy(np.int64)] = dl_sums.to_numpy(np.int64)
+        np.add.at(dl_by_row, tf_frame["row"].to_numpy(np.int64), tf_frame["tf"].to_numpy(np.int64))
 
     if tf_frame.empty:
         terms_u = np.empty(0, dtype=object)
@@ -180,7 +265,7 @@ def _build_one_segment(
         dls_all = np.empty(0, dtype=np.int64)
     else:
         # postings order: (term asc, doc_id asc); rows within a term are
-        # already doc-ordered because doc_term_frequencies sorts by row
+        # already doc-ordered because packed_term_frequencies emits row-major
         term_sorted = tf_frame.sort_values(["term", "row"], kind="stable").reset_index(drop=True)
         terms_arr = term_sorted["term"].to_numpy()
         starts = np.flatnonzero(
@@ -228,11 +313,7 @@ def _build_one_segment(
     }
 
 
-def _build_segment_fn(
-    index_dir: str,
-    content_col: str,
-    docmap_cols: tuple[str, ...],
-):
+def _build_segment_fn(index_dir: str, content_col: str, docmap_cols: tuple[str, ...]):
     """applyInPandas wrapper over _build_one_segment (the fragment path)."""
 
     def build(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
@@ -245,30 +326,31 @@ def _build_segment_fn(
 def _partition_builder_fn(
     index_dir: str,
     offsets: dict[int, int],
-    counts: dict[int, int],
     docs_per_segment: int,
     content_col: str,
     docmap_cols: tuple[str, ...],
     done: frozenset[int],
 ):
-    """mapInPandas builder: assign ids locally, build every segment FULLY
-    CONTAINED in this partition's doc range in place (writing postings +
-    docmap part + a manifest-part json, no shuffle), and emit only the
-    boundary rows (head/tail partial segments) for the tiny fragment stage.
+    """mapInPandas builder: assign ids in-stream (per-bucket counters), build
+    every segment FULLY CONTAINED in this partition in place (writing
+    postings + docmap part + a manifest-part json, no shuffle), and emit only
+    the boundary rows (head/tail partial segments) for the tiny fragment
+    stage.
 
-    This is what makes the build a single full-data shuffle: segment
-    boundaries are global multiples of ``docs_per_segment``, a range
-    partition covers a contiguous id span, so at most ~2 segments' worth of
-    rows per partition ever leave the partition.
+    Because a partition holds whole buckets with contiguous cumulative
+    offsets, its docIDs form one contiguous span — so a segment is interior
+    iff the stream contains its complete id range: a chunk starting before
+    the partition's first id is a head fragment, a chunk still incomplete
+    when the stream ends is a tail fragment, and everything else either
+    completes in-stream (built here) or waits in the buffer for the next
+    Arrow batch.
     """
-    from collections.abc import Iterator as _It
 
-    def run(batches: "_It[pd.DataFrame]") -> "_It[pd.DataFrame]":
+    def run(batches):
         buffer: list[pd.DataFrame] = []
         buffered = 0
-        pid = None
-        base = 0
-        seen = 0
+        base: int | None = None  # partition's first doc id
+        next_id: dict[int, int] = {}
 
         def flush_complete(force_tail: bool):
             nonlocal buffer, buffered
@@ -277,7 +359,6 @@ def _partition_builder_fn(
             pdf = pd.concat(buffer, ignore_index=True) if len(buffer) > 1 else buffer[0]
             buffer, buffered = [], 0
             first_id = int(pdf["doc_id"].iloc[0])
-            pend = base + counts[pid]  # partition's exclusive id end
             out_frags = []
             i = 0
             n = len(pdf)
@@ -287,22 +368,23 @@ def _partition_builder_fn(
                 seg_end = seg_start + docs_per_segment
                 take = min(n - i, seg_end - (first_id + i))
                 chunk = pdf.iloc[i : i + take]
-                contained = seg_start >= base and seg_end <= pend
                 complete_here = (first_id + i) == seg_start and take == (seg_end - seg_start)
-                if contained and complete_here:
+                if complete_here:
                     if sid not in done:
                         meta = _build_one_segment(
                             index_dir, sid, chunk, content_col, docmap_cols
                         )
                         seg_store.save_manifest_part(index_dir, meta)
-                elif contained and not complete_here and not force_tail:
+                elif seg_start < base or force_tail:
+                    # head partial (rows before base live elsewhere) or tail
+                    # partial at stream end -> boundary fragment
+                    if sid not in done:
+                        out_frags.append(chunk)
+                else:
                     # incomplete interior chunk: wait for more batches
                     buffer.append(chunk.copy())
                     buffered = len(chunk)
                     break
-                else:
-                    if sid not in done:
-                        out_frags.append(chunk)
                 i += take
             if out_frags:
                 yield pd.concat(out_frags, ignore_index=True)
@@ -310,12 +392,10 @@ def _partition_builder_fn(
         for raw in batches:
             if raw.empty:
                 continue
-            if pid is None:
-                pid = int(raw["_pid"].iloc[0])
-                base = offsets[pid]
-            ids = np.arange(base + seen, base + seen + len(raw), dtype=np.int64)
-            seen += len(raw)
-            pdf = raw.drop(columns=["_pid"])
+            ids = _assign_ids_for_batch(raw["_b"].to_numpy(np.int64), next_id, offsets)
+            if base is None:
+                base = int(ids[0])
+            pdf = raw.drop(columns=["_b"])
             pdf.insert(0, "doc_id", ids)
             pdf["seg_id"] = ids // docs_per_segment
             buffer.append(pdf)
@@ -338,29 +418,52 @@ def build_index(
     docs_per_segment: int = DEFAULT_DOCS_PER_SEGMENT,
     resume: bool = True,
     num_partitions: int | None = None,
+    pack_before_shuffle: bool = False,
+    n_docs_hint: int | None = None,
 ) -> dict:
     """Build (or resume) the inverted index; returns the stats dict.
 
     ``docmap_cols``: extra columns carried into the docmap table (e.g. lang,
     lon, lat) for query-time joins.  The docmap also records
     ``sha256(content)`` per row — the input_hint per-row invariant.
+
+    ``pack_before_shuffle`` chooses where tokenization runs relative to the
+    one full-data shuffle — segment bytes are identical either way:
+
+    * False (default): ship raw content, tokenize inside the segment builder.
+      ONE fused Python stage per doc; on a single box (local[N], shuffle via
+      page cache) this is strictly faster because Python CPU, not shuffle
+      bytes, is the bottleneck, and the fused stage pipelines perfectly with
+      the JVM shuffle.
+    * True: tokenize+pack map-side and shuffle flat packed term rows instead
+      of content.  Two Python stages per doc (~+50% Python/Arrow work), but
+      shuffle volume drops to the distinct-term payload — the right trade on
+      a real multi-executor cluster where the shuffle crosses a network and
+      content bytes dominate the wire.
     """
     os.makedirs(index_dir, exist_ok=True)
     manifest = load_manifest(index_dir) if resume else None
     if manifest is not None:
         docs_per_segment = manifest.docs_per_segment
 
-    # sha256 JVM-side so the python workers never hash; carried through the
-    # shuffle alongside the docmap columns
-    work = docs.select(*key_cols, *docmap_cols, content_col).withColumn(
-        "sha256", F.sha2(F.col(content_col).cast("binary"), 256)
-    )
     num_partitions = num_partitions or spark.sparkContext.defaultParallelism
-    ranged = _ranged_with_pid(work, key_cols, num_partitions)
-    # this job also materializes the persisted partitioning that the segment
-    # build below reuses — offsets/counts are guaranteed to describe the
-    # exact partitions mapInPandas will iterate
-    offsets, counts, n_docs = _partition_offsets(ranged)
+
+    # two key-only jobs (content pruned out of both scans): fixed-seed
+    # boundary sample + exact per-bucket counts -> literal offsets.
+    # n_docs_hint (exact row count, if the caller already knows it) skips the
+    # count job; it only sizes the sample fraction and the expected-segment
+    # figure, so an exact hint changes nothing else.
+    n_docs = n_docs_hint if n_docs_hint is not None else docs.select(*key_cols).count()
+    bounds = _sample_key_boundaries(docs, key_cols, n_docs, 2 * num_partitions)
+    bexpr = _bucket_column(key_cols, bounds, dict(docs.dtypes))
+    counts = {
+        r["_b"]: r["cnt"]
+        for r in docs.select(bexpr.alias("_b"))
+        .groupBy("_b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    offsets = _bucket_offsets(counts)
 
     if manifest is None:
         manifest = IndexManifest(
@@ -389,14 +492,31 @@ def build_index(
 
     if len(done) < max(1, manifest.num_segments_expected):
         dm_cols = tuple([*key_cols, *docmap_cols])
+        # sha256 JVM-side so the python workers never hash
+        work = docs.select(*key_cols, *docmap_cols, content_col).withColumn(
+            "sha256", F.sha2(F.col(content_col).cast("binary"), 256)
+        )
+        if pack_before_shuffle:
+            pack_schema = ", ".join(
+                [f"`{n}` {t}" for n, t in work.drop(content_col).dtypes]
+                + ["terms_blob string", "tfs_vb binary", "n_terms long"]
+            )
+            work = work.mapInPandas(
+                _pack_fn(content_col, [*dm_cols, "sha256"]), pack_schema
+            )
+        ranged = (
+            work.withColumn("_b", bexpr)
+            .repartitionByRange(num_partitions, "_b")
+            .sortWithinPartitions("_b", *[F.col(c) for c in key_cols])
+        )
         frag_schema = ", ".join(
             ["doc_id long"]
-            + [f"`{name}` {dtype}" for name, dtype in ranged.drop("_pid").dtypes]
+            + [f"`{n}` {t}" for n, t in ranged.drop("_b").dtypes]
             + ["seg_id long"]
         )
         frags = ranged.mapInPandas(
             _partition_builder_fn(
-                index_dir, offsets, counts, docs_per_segment, content_col, dm_cols, done
+                index_dir, offsets, docs_per_segment, content_col, dm_cols, done
             ),
             frag_schema,
         )
@@ -414,7 +534,6 @@ def build_index(
         for row in frag_rows:
             manifest.segments[str(row["seg_id"])] = row.asDict()
         parts = seg_store.load_manifest_parts(index_dir)
-    ranged.unpersist()
 
     for sid, meta in parts.items():
         manifest.segments.setdefault(sid, meta)

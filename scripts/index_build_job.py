@@ -39,6 +39,8 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--replicate", type=int, default=256)
     ap.add_argument("--docs-per-segment", type=int, default=2048)
+    ap.add_argument("--num-partitions", type=int, default=None)
+    ap.add_argument("--pack", action="store_true", help="pack_before_shuffle mode")
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     args = ap.parse_args()
 
@@ -61,7 +63,16 @@ def main() -> None:
     )
     n_docs = corpus.count()  # materialize the input before the timed section
 
-    index_dir = tempfile.mkdtemp(prefix=f"scale_idx_{master.replace('[','_').replace(']','')}_")
+    # index output on the ramdisk: on a real cluster segment files land on
+    # distributed storage whose aggregate bandwidth scales with executors;
+    # this box's single /tmp disk does not, so writing there would measure
+    # the disk, not the engine
+    out_root = "/dev/shm/spark-scale-idx" if os.path.isdir("/dev/shm") else None
+    if out_root:
+        os.makedirs(out_root, exist_ok=True)
+    index_dir = tempfile.mkdtemp(
+        prefix=f"scale_idx_{master.replace('[','_').replace(']','')}_", dir=out_root
+    )
     try:
         t0 = time.perf_counter()
         stats = build_index(
@@ -72,6 +83,9 @@ def main() -> None:
             key_cols=("rep", "orig_id"),
             docs_per_segment=args.docs_per_segment,
             resume=False,
+            n_docs_hint=n_docs,
+            num_partitions=args.num_partitions,
+            pack_before_shuffle=args.pack,
         )
         wall = time.perf_counter() - t0
         print(
