@@ -147,6 +147,46 @@ def merge_clusters(
     return final
 
 
+def merge_clusters_batched(
+    candidates: list[Cluster],
+    radius_m: float,
+    ratio: float,
+    batch_size: int,
+) -> list[Cluster]:
+    """ES batched-coordination reduce (InternalGeoPointClustering.java:295-297).
+
+    Elasticsearch's coordinator reduces shard responses in batches of
+    ``batched_reduce_size``; ``mergeBuckets`` runs on every NON-FINAL reduce
+    too, so with many shards the greedy merge is applied per batch and then
+    AGAIN over the per-batch survivors.  This is observably different from
+    the one-shot merge: a bucket absorbed early in a batch can move that
+    batch's centroid so a later bucket escapes, whereas the one-shot pass
+    over the full key-descending array would have caught it (and vice
+    versa).  The engine's default is the single final merge (strictly the
+    better answer); this mode reproduces ES output for a given batching.
+
+    ``candidates`` are consumed in the given order (ES: shard arrival
+    order); each batch is key-desc sorted before its merge, as is the final
+    pass — matching the PQ drain in :311-315.
+    """
+    if batch_size <= 0:
+        raise ValueError(f"batch_size must be positive: {batch_size}")
+    if len(candidates) <= batch_size:
+        ordered = sorted(candidates, key=lambda c: c.cell, reverse=True)
+        return merge_clusters(ordered, radius_m, ratio)
+    # partial (non-final) reduce per batch, then ONE final reduce over the
+    # accumulated survivors — the coordinator's shape
+    survivors: list[Cluster] = []
+    for i in range(0, len(candidates), batch_size):
+        batch = sorted(candidates[i : i + batch_size], key=lambda c: c.cell, reverse=True)
+        merged = merge_clusters(batch, radius_m, ratio)
+        for c in merged:
+            c.visited = False  # reset for the final reduce
+        survivors.extend(merged)
+    final = sorted(survivors, key=lambda c: c.cell, reverse=True)
+    return merge_clusters(final, radius_m, ratio)
+
+
 def merge_clusters_reference(
     candidates: list[Cluster], radius_m: float, ratio: float
 ) -> list[Cluster]:

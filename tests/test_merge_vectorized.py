@@ -52,3 +52,60 @@ def test_empty_and_single():
     one = [Cluster(cell=5, lat=1.0, lon=2.0, doc_count=3)]
     out = merge_clusters(copy.deepcopy(one), 1000.0, 0.0)
     assert len(out) == 1 and out[0].doc_count == 3 and out[0].cells == [5]
+
+
+def test_batched_reduce_single_batch_equals_oneshot():
+    """batch_size >= n degenerates to the one-shot key-desc merge."""
+    from elasticsearch_aggregation_geoclustering_spark.operators.merge import (
+        Cluster,
+        merge_clusters,
+        merge_clusters_batched,
+    )
+
+    def mk():
+        return [
+            Cluster(cell=c, lat=48.8 + 0.001 * i, lon=2.3 + 0.001 * i, doc_count=1 + i)
+            for i, c in enumerate([900, 800, 700, 600, 500])
+        ]
+
+    one = merge_clusters(mk(), radius_m=500.0, ratio=0.0)
+    batched = merge_clusters_batched(mk(), radius_m=500.0, ratio=0.0, batch_size=10)
+    assert [(c.cell, c.doc_count, c.lat, c.lon) for c in one] == [
+        (c.cell, c.doc_count, c.lat, c.lon) for c in batched
+    ]
+
+
+def test_batched_reduce_can_differ_from_oneshot():
+    """The ES merge-of-merged quirk: per-batch centroid movement changes the
+    final clustering vs a single global pass (the documented deviation the
+    default mode avoids)."""
+    from elasticsearch_aggregation_geoclustering_spark.operators.merge import (
+        Cluster,
+        merge_clusters,
+        merge_clusters_batched,
+    )
+
+    # A-B-C on a line, adjacent pairs within radius, C heavy. One-shot
+    # (key-desc): A absorbs B, the merged centroid lands mid A-B, C escapes
+    # -> {A+B: 2, C: 100}. Arrival order [A, X, B, C] with batch_size=2
+    # puts B and C in one batch: B absorbs C, the weighted centroid lands
+    # next to C, A escapes -> {A: 1, B+C: 101}. X is far-away filler that
+    # only shapes the batching.
+    def mk():
+        return [
+            Cluster(cell=900, lat=48.0, lon=2.000, doc_count=1),
+            Cluster(cell=100, lat=-10.0, lon=100.0, doc_count=1),
+            Cluster(cell=800, lat=48.0, lon=2.008, doc_count=1),
+            Cluster(cell=700, lat=48.0, lon=2.016, doc_count=100),
+        ]
+
+    # adjacent gap 0.008° lon at lat 48 ≈ 596 m; effective radius is
+    # radius·cos(48°) ≈ 602 m -> adjacent pairs merge, skip-pairs don't
+    radius = 900.0
+    one = merge_clusters(
+        sorted(mk(), key=lambda c: c.cell, reverse=True), radius, 0.0
+    )
+    batched = merge_clusters_batched(mk(), radius, 0.0, batch_size=2)
+    sig = lambda cl: sorted((c.cell, c.doc_count) for c in cl)
+    assert sig(one) == [(100, 1), (700, 100), (900, 2)]
+    assert sig(batched) == [(100, 1), (800, 101), (900, 1)]
