@@ -213,25 +213,52 @@ def minhash_lsh_pairs(
         df, text_col, id_col, num_hashes=num_hashes, shingle_k=shingle_k, seed=seed
     )
     buckets = lsh_bands(sigs, bands=bands, num_hashes=num_hashes)
+    return _bucket_pairs(buckets, ["band", "band_key"], max_bucket_size)
+
+
+def _bucket_pairs(
+    buckets: DataFrame, bucket_cols: list[str], max_bucket_size: int | None
+) -> DataFrame:
+    """Distinct ``(doc_a, doc_b)`` pairs co-bucketed by ``bucket_cols``.
+
+    ONE pass over the bucket rows (window count → cap filter → collect the
+    ≤ max_bucket_size member ids) followed by an in-bucket pair explosion —
+    instead of a self-equi-join, which costs three full recomputations of
+    the upstream lineage (the bucket-size filter plus both join sides; Spark
+    only reuses exchanges for physically identical subplans).  The window
+    count shares the groupBy's hash partitioning, so there is ONE shuffle
+    keyed by the uniform bucket key plus the final pair distinct; the cap is
+    applied BEFORE collect_list, so a degenerate mass-duplicate bucket
+    streams through the (disk-spillable) window buffer and never
+    materializes an unbounded in-memory array.  The in-bucket expansion is
+    O(k²) array work per bucket, bounded by the cap.
+    """
     if max_bucket_size is not None:
-        sizes = buckets.groupBy("band", "band_key").agg(F.count(F.lit(1)).alias("_n"))
-        buckets = buckets.join(
-            sizes.where(F.col("_n") <= max_bucket_size).drop("_n"),
-            on=["band", "band_key"],
-            how="left_semi",
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*bucket_cols)
+        buckets = (
+            buckets.withColumn("_n", F.count(F.lit(1)).over(w))
+            .where(F.col("_n") <= max_bucket_size)
+            .drop("_n")
         )
-    left = buckets.alias("l")
-    right = buckets.alias("r")
+    ids_sorted = F.array_sort(F.collect_list("doc_id"))
+    groups = buckets.groupBy(*bucket_cols).agg(ids_sorted.alias("ids"))
+    groups = groups.where(F.size("ids") >= 2)
+    pair_structs = F.filter(
+        F.flatten(
+            F.transform(
+                F.col("ids"),
+                lambda x: F.transform(
+                    F.col("ids"), lambda y: F.struct(x.alias("a"), y.alias("b"))
+                ),
+            )
+        ),
+        lambda p: p["a"] < p["b"],
+    )
     return (
-        left.join(
-            right,
-            on=[
-                F.col("l.band") == F.col("r.band"),
-                F.col("l.band_key") == F.col("r.band_key"),
-                F.col("l.doc_id") < F.col("r.doc_id"),
-            ],
-        )
-        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
+        groups.select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
         .distinct()
     )
 
@@ -299,26 +326,40 @@ def simhash_near_pairs(
             )
         ).alias("c"),
     ).select("doc_id", "simhash", "c.chunk", "c.val")
-    l, r = chunks.alias("l"), chunks.alias("r")
+    # one groupBy + in-bucket explosion (see _bucket_pairs): the fingerprint
+    # rides along in the member struct, so hamming is computed in place and
+    # the simhash aggregation lineage runs exactly once
+    members = F.array_sort(F.collect_list(F.struct("doc_id", "simhash")))
+    groups = chunks.groupBy("chunk", "val").agg(members.alias("ms")).where(
+        F.size("ms") >= 2
+    )
+    pair_structs = F.filter(
+        F.flatten(
+            F.transform(
+                F.col("ms"),
+                lambda x: F.transform(
+                    F.col("ms"),
+                    lambda y: F.struct(
+                        x["doc_id"].alias("a"),
+                        y["doc_id"].alias("b"),
+                        F.bit_count(x["simhash"].bitwiseXOR(y["simhash"])).alias("h"),
+                    ),
+                ),
+            )
+        ),
+        lambda p: p["a"] < p["b"],
+    )
     cand = (
-        l.join(
-            r,
-            on=[
-                F.col("l.chunk") == F.col("r.chunk"),
-                F.col("l.val") == F.col("r.val"),
-                F.col("l.doc_id") < F.col("r.doc_id"),
-            ],
-        )
+        groups.select(F.explode(pair_structs).alias("p"))
         .select(
-            F.col("l.doc_id").alias("doc_a"),
-            F.col("r.doc_id").alias("doc_b"),
-            F.bit_count(
-                F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))
-            ).alias("hamming"),
+            F.col("p.a").alias("doc_a"),
+            F.col("p.b").alias("doc_b"),
+            F.col("p.h").alias("hamming"),
         )
+        .where(F.col("hamming") <= max_hamming)
         .distinct()
     )
-    return cand.where(F.col("hamming") <= max_hamming)
+    return cand
 
 
 def ngram_jaccard_pairs_minhash(

@@ -153,11 +153,13 @@ def rp_band_near_pairs(
     planes = rp_planes(dim, n_planes, seed)
     # band rows carry ONLY (vid, band, bits): the candidate join never
     # shuffles a vector; vectors rejoin by uniform id after pair dedup
+    from .dedup import _bucket_pairs
+
     sigrows = df.select(
-        F.col(id_col).alias("vid"),
+        F.col(id_col).alias("doc_id"),
         rp_signature_column(F.col(vec_col), planes).alias("_sig"),
     ).select(
-        "vid",
+        "doc_id",
         F.explode(
             F.array(
                 *[
@@ -171,19 +173,11 @@ def rp_band_near_pairs(
                 ]
             )
         ).alias("c"),
-    ).select("vid", F.col("c.band").alias("band"), F.col("c.bits").alias("bits"))
-    l, r = sigrows.alias("l"), sigrows.alias("r")
-    cand = (
-        l.join(
-            r,
-            on=[
-                F.col("l.band") == F.col("r.band"),
-                F.col("l.bits") == F.col("r.bits"),
-                F.col("l.vid") < F.col("r.vid"),
-            ],
-        )
-        .select(F.col("l.vid").alias("id_a"), F.col("r.vid").alias("id_b"))
-        .distinct()
+    ).select("doc_id", F.col("c.band").alias("band"), F.col("c.bits").alias("bits"))
+    # groupBy + in-bucket explosion: the signature UDF lineage runs once (a
+    # self-join would recompute it per join side)
+    cand = _bucket_pairs(sigrows, ["band", "bits"], max_bucket_size=None).select(
+        F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b")
     )
     vecs = df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
     pairs = (
