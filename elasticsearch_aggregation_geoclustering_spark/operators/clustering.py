@@ -48,14 +48,23 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from ..geo import geohash
+from ..geo import geohash, geohash_expr
 from ..geo.geohash import MAX_PRECISION as MAX_PRECISION_LEVEL
 from ..geo.planner import ClusteringPlan, plan_clustering
 from .merge import Cluster, merge_clusters
 
 
 def cell_column(lon: Column, lat: Column, precision: int) -> Column:
-    """Geohash long-key column via an Arrow-batched pandas UDF (P7)."""
+    """Geohash long-key column (P7).
+
+    Precision 1..11 (every zoom the planner produces below max) compiles to a
+    pure JVM bit-arithmetic expression — the whole cell aggregation stays in
+    whole-stage codegen with zero Python workers.  Precision 12 packs bit 63
+    and uses the Arrow-batched numpy encoder instead; both produce identical
+    keys (tests/test_geohash.py pins JVM == numpy on edge + random points).
+    """
+    if precision <= 11:
+        return geohash_expr.cell_expr(lon, lat, precision)
 
     @F.pandas_udf(LongType())
     def _encode(lon_s: pd.Series, lat_s: pd.Series) -> pd.Series:

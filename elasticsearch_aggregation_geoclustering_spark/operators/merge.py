@@ -107,29 +107,40 @@ def merge_clusters(
             bucket.cells.append(other.cell)
 
         # first pass: scan the (unvisited, later) candidates in order; the
-        # centroid is constant between merges, so vectorize up to each merge
+        # centroid is constant between merges, so vectorize up to each merge.
+        # A conservative latitude-band prefilter skips the haversine for the
+        # overwhelming majority of far candidates WITHOUT changing any
+        # decision: haversine(d) >= R·|Δlat|, a hit needs d <= fr <=
+        # radius_m, and a ratio revisit needs d < ratio·fr — so |Δlat_rad| >
+        # radius_m·max(1, ratio)/R can be neither.  For world-scattered
+        # candidates this cuts the O(k²) trig work ~50x.
+        lat_cut = radius_m * max(1.0, ratio) / EARTH_MEAN_RADIUS / _DEG  # degrees
         revisit: list[int] = []
         idx = np.flatnonzero(~visited[i + 1 :]) + i + 1
         pos = 0
         while pos < idx.size:
             rest = idx[pos:]
-            d = _arc_np(blat, blon, lat[rest], lon[rest])
-            fr = radius_m * np.cos(((blat + lat[rest]) / 2.0) * _DEG)
+            near = np.flatnonzero(np.abs(lat[rest] - blat) <= lat_cut)
+            if near.size == 0:
+                break
+            cand = rest[near]  # order preserved => first hit is still first
+            d = _arc_np(blat, blon, lat[cand], lon[cand])
+            fr = radius_m * np.cos(((blat + lat[cand]) / 2.0) * _DEG)
             hit = d <= fr
             if not hit.any():
                 if ratio > 0:
                     with np.errstate(divide="ignore", invalid="ignore"):
                         rm = (fr > 0) & (d / fr < ratio)
-                    revisit.extend(int(j) for j in rest[rm])
+                    revisit.extend(int(j) for j in cand[rm])
                 break
             first = int(np.argmax(hit))
             if ratio > 0 and first > 0:
                 dp, fp = d[:first], fr[:first]
                 with np.errstate(divide="ignore", invalid="ignore"):
                     rm = (fp > 0) & (dp / fp < ratio)
-                revisit.extend(int(j) for j in rest[:first][rm])
-            absorb(int(rest[first]))
-            pos += first + 1
+                revisit.extend(int(j) for j in cand[:first][rm])
+            absorb(int(cand[first]))
+            pos += int(near[first]) + 1
 
         # second pass (ratio): retry near-misses against the moved centroid,
         # in collection order, one at a time (the centroid keeps moving)

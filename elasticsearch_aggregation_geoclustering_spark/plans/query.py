@@ -71,6 +71,13 @@ def _decode_postings_fn(lucene_norms: bool):
     return decode
 
 
+#: dictionaries up to this many terms are collected to the driver once and
+#: answer every subsequent df lookup without a Spark job (a few MB); larger
+#: dictionaries (the 10^8-term source-code case) keep the per-query pruned
+#: parquet lookup
+DF_CACHE_MAX_TERMS = 2_000_000
+
+
 @dataclass
 class InvertedIndex:
     """Reader over an index directory produced by plans.index_build."""
@@ -79,6 +86,8 @@ class InvertedIndex:
     index_dir: str
     n_docs: int
     avgdl: float
+    _df_cache: dict | None = None
+    _df_cache_checked: bool = False
 
     @classmethod
     def open(cls, spark: SparkSession, index_dir: str) -> "InvertedIndex":
@@ -107,7 +116,19 @@ class InvertedIndex:
         )
 
     def df_of(self, terms: list[str]) -> dict[str, int]:
-        """Global document frequencies (driver-side, tiny)."""
+        """Global document frequencies (driver-side, tiny).
+
+        Small dictionaries are cached whole on first use so a query batch
+        pays ONE stats job instead of one per query; big dictionaries fall
+        back to a term-pruned parquet lookup (sorted row-group stats).
+        """
+        if not self._df_cache_checked:
+            self._df_cache_checked = True
+            stats = self.term_stats()
+            if stats.count() <= DF_CACHE_MAX_TERMS:
+                self._df_cache = {r["term"]: r["df"] for r in stats.collect()}
+        if self._df_cache is not None:
+            return {t: self._df_cache[t] for t in set(terms) if t in self._df_cache}
         rows = self.term_stats().where(F.col("term").isin(sorted(set(terms)))).collect()
         return {r["term"]: r["df"] for r in rows}
 

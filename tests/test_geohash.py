@@ -144,3 +144,45 @@ def test_arc_distance_symmetry():
     a = arc_distance(48.82, 2.45, 48.87, 2.24)
     b = arc_distance(48.87, 2.24, 48.82, 2.45)
     assert a == b
+
+
+def test_jvm_cell_expr_matches_numpy(spark):
+    """The codegen bit-arithmetic encoder is bit-identical to the numpy one
+    for every precision 1..11, on edge and random coordinates."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from elasticsearch_aggregation_geoclustering_spark.geo import geohash_expr
+    from elasticsearch_aggregation_geoclustering_spark.geo.geohash import long_encode
+
+    rng = np.random.default_rng(11)
+    lons = np.concatenate(
+        [np.array([-180.0, 180.0, 0.0, -5.6, 2.454929, 179.999999]),
+         rng.uniform(-180, 180, 200)]
+    )
+    lats = np.concatenate(
+        [np.array([-90.0, 90.0, 0.0, 42.6, 48.821578, 89.999999]),
+         rng.uniform(-90, 90, 200)]
+    )
+    df = spark.createDataFrame(
+        [(float(lo), float(la)) for lo, la in zip(lons, lats)], "lon double, lat double"
+    )
+    for precision in (1, 2, 5, 9, 11):
+        got = [
+            r["k"]
+            for r in df.select(
+                geohash_expr.cell_expr(F.col("lon"), F.col("lat"), precision).alias("k")
+            ).collect()
+        ]
+        expect = long_encode(lons, lats, precision).tolist()
+        assert got == expect, f"precision {precision}"
+
+
+def test_jvm_cell_expr_rejects_precision_12():
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from elasticsearch_aggregation_geoclustering_spark.geo import geohash_expr
+
+    with _pytest.raises(ValueError):
+        geohash_expr.cell_expr(F.col("lon"), F.col("lat"), 12)
