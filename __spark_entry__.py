@@ -415,6 +415,21 @@ def _q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fake-decoder features (byte histogram) over binary
+    payloads — the full mapInPandas plumbing a real image decoder would use,
+    rendered one row per (doc, dim) so the gate canonicalizer sees scalars."""
+    media = multimodal.attach_binary_payload(_docs(spark, sf_dir), "text", "doc_id")
+    feats = multimodal.fake_image_features(media)
+    return feats.select(
+        "doc_id", F.posexplode("features").alias("dim", "value")
+    ).select(
+        "doc_id",
+        F.col("dim").cast("long").alias("dim"),
+        F.round("value", 6).alias("value"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # geo clustering operator family (SURVEY.md §2.1)
@@ -448,6 +463,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_id": _q_text_lang_id,
         "text_fingerprint": _q_text_fingerprint,
         "multimodal_meta": _q_multimodal_meta,
+        "multimodal_features": _q_multimodal_features,
     }
 
 
@@ -665,5 +681,24 @@ select doc_id, 'blob' as media_type,
        octet_length(text::BLOB)::BIGINT as n_bytes,
        sha256(text) as sha256
 from documents
+""",
+        # byte-histogram fake features: payload is the UTF-8 text, which is
+        # pure ASCII in this corpus, so ascii(char) == byte value
+        "multimodal_features": f"""
+with counts as (
+  select doc_id, ascii(substring(text, i, 1)) % {multimodal.FAKE_FEATURE_DIM} as m,
+         count(*) as c
+  from documents, unnest(range(1, length(text) + 1)) as t(i)
+  group by doc_id, m
+),
+dims as (
+  select doc_id, length(text) as n,
+         unnest(range(0, {multimodal.FAKE_FEATURE_DIM})) as dim
+  from documents
+)
+select dims.doc_id, dims.dim::BIGINT as dim,
+       round(case when dims.n > 0 then coalesce(counts.c, 0)::DOUBLE / dims.n
+                  else 0.0 end, 6) as value
+from dims left join counts on counts.doc_id = dims.doc_id and counts.m = dims.dim
 """,
     }

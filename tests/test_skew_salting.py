@@ -78,3 +78,37 @@ def test_bm25_with_hot_term(hot_index):
     top_doc = rows[0]["doc_id"]
     docmap = {r["doc_id"]: r["path"] for r in idx.docmap().collect()}
     assert docmap[top_doc] == "f0042.py"
+
+
+def test_minhash_engines_identical(spark):
+    """The arrow (numpy/hashlib) and jvm (expression-fold) signature engines
+    must produce bit-identical signatures — the LSH bands, the oracle, and
+    the gate all assume one MinHash definition."""
+    from pyspark.sql import functions as F
+
+    from elasticsearch_aggregation_geoclustering_spark.extras import dedup
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = {
+        r["doc_id"]: tuple(r["sig"])
+        for r in dedup.minhash_signatures(docs, "text", "doc_id", engine="arrow").collect()
+    }
+    b = {
+        r["doc_id"]: tuple(r["sig"])
+        for r in dedup.minhash_signatures(docs, "text", "doc_id", engine="jvm").collect()
+    }
+    assert a == b
+    # shingle_k=1 path too (the jaccard query's configuration)
+    a1 = {
+        r["doc_id"]: tuple(r["sig"])
+        for r in dedup.minhash_signatures(
+            docs, "text", "doc_id", shingle_k=1, engine="arrow"
+        ).collect()
+    }
+    b1 = {
+        r["doc_id"]: tuple(r["sig"])
+        for r in dedup.minhash_signatures(
+            docs, "text", "doc_id", shingle_k=1, engine="jvm"
+        ).collect()
+    }
+    assert a1 == b1
