@@ -34,6 +34,7 @@ from elasticsearch_aggregation_geoclustering_spark.functions import bm25
 from elasticsearch_aggregation_geoclustering_spark.geo.planner import plan_clustering
 from elasticsearch_aggregation_geoclustering_spark.operators.clustering import (
     clusters_to_dataframe,
+    explode_multi_points,
     geo_cell_aggregate,
     geo_point_clustering,
 )
@@ -192,6 +193,83 @@ def _q_geo_cell_agg_z5_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_count",
         F.round("centroid_lat", 6).alias("centroid_lat"),
         F.round("centroid_lon", 6).alias("centroid_lon"),
+    )
+
+
+#: second/third synthetic points per event for the multi-value query (P6);
+#: the third shares the first's coarse cell (dup-skip must drop one of them)
+EVENT_LON2_MUL, EVENT_LAT2_MUL = 7127, 104597
+MULTI_EPS = 0.0001
+
+
+def _q_geo_multipoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6: multi-valued geo_point with duplicate-cell skip — each doc
+    contributes at most one point per cell, the first in Lucene
+    encoded-sort order (GeoPointClusteringAggregator.java:106-123)."""
+    ev = _events(spark, sf_dir)
+    lon1 = ((F.col("event_id") * F.lit(7919)) % F.lit(36000)) / F.lit(100.0) - F.lit(180.0)
+    lat1 = ((F.col("event_id") * F.lit(104729)) % F.lit(17000)) / F.lit(100.0) - F.lit(85.0)
+    lon2 = ((F.col("event_id") * F.lit(EVENT_LON2_MUL)) % F.lit(36000)) / F.lit(100.0) - F.lit(180.0)
+    lat2 = ((F.col("event_id") * F.lit(EVENT_LAT2_MUL)) % F.lit(17000)) / F.lit(100.0) - F.lit(85.0)
+    pts = ev.select(
+        "event_id",
+        F.array(
+            F.struct(lon1.alias("lon"), lat1.alias("lat")),
+            F.struct(lon2.alias("lon"), lat2.alias("lat")),
+            F.struct((lon1 + F.lit(MULTI_EPS)).alias("lon"), lat1.alias("lat")),
+        ).alias("points"),
+    )
+    plan = plan_clustering(GEO_ZOOM_COARSE)
+    first = explode_multi_points(pts, "points", "event_id", plan.precision)
+    cells = geo_cell_aggregate(first, zoom=GEO_ZOOM_COARSE)
+    return cells.select(
+        "cell",
+        "doc_count",
+        F.round("centroid_lat", 6).alias("centroid_lat"),
+        F.round("centroid_lon", 6).alias("centroid_lon"),
+    )
+
+
+def _q_geo_cell_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P18: additive sub-aggregation metrics riding the cell aggregation."""
+    cells = geo_cell_aggregate(
+        _event_points(spark, sf_dir).withColumn("eid", F.col("event_id")),
+        zoom=GEO_ZOOM_COARSE,
+        metrics={"sum_event_id": F.col("eid")},
+    )
+    return cells.select(
+        "cell",
+        "doc_count",
+        F.round("centroid_lat", 6).alias("centroid_lat"),
+        F.round("centroid_lon", 6).alias("centroid_lon"),
+        F.col("sum_event_id").cast("long").alias("sum_event_id"),
+    )
+
+
+def _q_geo_quantized_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P11 + P10 composed: per-shard partials truncated to shard_size, wire
+    quantization of the partial centroids, weighted combine, global P13."""
+    pts = _event_points(spark, sf_dir).withColumn(
+        "shard", (F.col("event_id") % F.lit(GEO_SHARDS)).cast("long")
+    )
+    cells = geo_cell_aggregate(
+        pts,
+        zoom=GEO_ZOOM,
+        shard_parity=True,
+        shard_col="shard",
+        quantize_wire=True,
+        size=GEO_SHARD_SIZE,
+        shard_size=GEO_SHARD_SIZE,
+    )
+    return (
+        cells.orderBy(F.desc("cell"))
+        .limit(GEO_SHARD_SIZE)
+        .select(
+            "cell",
+            "doc_count",
+            F.round("centroid_lat", 6).alias("centroid_lat"),
+            F.round("centroid_lon", 6).alias("centroid_lon"),
+        )
     )
 
 
@@ -436,6 +514,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_cell_agg_z9": _q_geo_cell_agg_z9,
         "geo_cell_agg_z5_bbox": _q_geo_cell_agg_z5_bbox,
         "geo_shard_parity_z9": _q_geo_shard_parity,
+        "geo_quantized_shard_z9": _q_geo_quantized_shard,
+        "geo_multipoint_z5": _q_geo_multipoint,
+        "geo_cell_metrics_z5": _q_geo_cell_metrics,
         "geo_hits_total_bbox": _q_geo_hits_total_bbox,
         "geo_clustering_paris_z9": _q_geo_clustering_paris,
         # inverted index + BM25 query engine (SURVEY.md §2.2, north_rule)
@@ -492,6 +573,89 @@ select {cell} as cell,
        round(avg(lon), 6) as centroid_lon
 from flt
 group by 1
+"""
+
+
+def _geo_multipoint_sql() -> str:
+    plan = plan_clustering(GEO_ZOOM_COARSE)
+    cell = osql.geohash_cell_sql(plan.precision)
+    ek = osql.enc12_order_key_sql()
+    lon2 = f"((event_id * {EVENT_LON2_MUL}) % 36000) / 100.0 - 180.0"
+    lat2 = f"((event_id * {EVENT_LAT2_MUL}) % 17000) / 100.0 - 85.0"
+    return f"""
+with raw as (
+  select event_id, {osql.EVENT_LON_SQL} as lon, {osql.EVENT_LAT_SQL} as lat from events
+  union all
+  select event_id, {lon2} as lon, {lat2} as lat from events
+  union all
+  select event_id, ({osql.EVENT_LON_SQL}) + {MULTI_EPS} as lon, {osql.EVENT_LAT_SQL} as lat from events
+),
+keyed as (select event_id, lon, lat, {cell} as cell, {ek} as ek from raw),
+first as (
+  select event_id, cell, arg_min(lon, ek) as lon, arg_min(lat, ek) as lat
+  from keyed group by event_id, cell
+)
+select cell, count(*)::BIGINT as doc_count,
+       round(avg(lat), 6) as centroid_lat,
+       round(avg(lon), 6) as centroid_lon
+from first group by cell
+"""
+
+
+def _geo_cell_metrics_sql() -> str:
+    plan = plan_clustering(GEO_ZOOM_COARSE)
+    cell = osql.geohash_cell_sql(plan.precision)
+    return f"""
+with pts as (
+  select event_id, {osql.EVENT_LON_SQL} as lon, {osql.EVENT_LAT_SQL} as lat from events
+)
+select {cell} as cell,
+       count(*)::BIGINT as doc_count,
+       round(avg(lat), 6) as centroid_lat,
+       round(avg(lon), 6) as centroid_lon,
+       sum(event_id)::BIGINT as sum_event_id
+from pts group by 1
+"""
+
+
+def _geo_quantized_shard_sql() -> str:
+    """P11 + P10: per-shard truncate, Lucene wire-grid quantization of the
+    partial centroids (floor(deg/step)*step, +edge stepped down), weighted
+    combine — same association order as the Spark partial/final agg."""
+    from elasticsearch_aggregation_geoclustering_spark.geo.geohash import (
+        LATITUDE_DECODE,
+        LONGITUDE_DECODE,
+    )
+
+    plan = plan_clustering(GEO_ZOOM, size=GEO_SHARD_SIZE, shard_size=GEO_SHARD_SIZE)
+    cell = osql.geohash_cell_sql(plan.precision)
+    lat_step = repr(float(LATITUDE_DECODE))
+    lon_step = repr(float(LONGITUDE_DECODE))
+    qlat = f"floor(least(plat, 89.99999999999999) / {lat_step}) * {lat_step}"
+    qlon = f"floor(least(plon, 179.99999999999997) / {lon_step}) * {lon_step}"
+    return f"""
+with pts as (
+  select {osql.EVENT_LON_SQL} as lon, {osql.EVENT_LAT_SQL} as lat,
+         (event_id % {GEO_SHARDS})::BIGINT as shard
+  from events
+),
+partials as (
+  select shard, {cell} as cell, count(*)::BIGINT as cnt,
+         avg(lat) as plat, avg(lon) as plon
+  from pts group by 1, 2
+),
+kept as (
+  select * from (
+    select *, row_number() over (partition by shard order by cell desc) as rn
+    from partials
+  ) where rn <= {plan.shard_size}
+),
+quant as (select shard, cell, cnt, {qlat} as qlat, {qlon} as qlon from kept)
+select cell, sum(cnt)::BIGINT as doc_count,
+       round(sum(qlat * cnt) / sum(cnt), 6) as centroid_lat,
+       round(sum(qlon * cnt) / sum(cnt), 6) as centroid_lon
+from quant group by cell
+order by cell desc limit {plan.size}
 """
 
 
@@ -605,6 +769,9 @@ def oracle_sql() -> dict[str, str]:
         "geo_cell_agg_z5_bbox": _geo_cell_agg_sql(GEO_ZOOM_COARSE, bbox=True),
         "geo_clustering_paris_z9": _paris_clustering_sql(),
         "geo_shard_parity_z9": _geo_shard_parity_sql(),
+        "geo_quantized_shard_z9": _geo_quantized_shard_sql(),
+        "geo_multipoint_z5": _geo_multipoint_sql(),
+        "geo_cell_metrics_z5": _geo_cell_metrics_sql(),
         "geo_hits_total_bbox": f"""
 with pts as (
   select {osql.EVENT_LON_SQL} as lon, {osql.EVENT_LAT_SQL} as lat from events

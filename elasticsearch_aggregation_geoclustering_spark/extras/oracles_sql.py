@@ -71,6 +71,24 @@ EVENT_LON_SQL = "((event_id * 7919) % 36000) / 100.0 - 180.0"
 EVENT_LAT_SQL = "((event_id * 104729) % 17000) / 100.0 - 85.0"
 
 
+def enc12_order_key_sql(lon_expr: str = "lon", lat_expr: str = "lat") -> str:
+    """Lucene doc_values sort key: the level-12 geohash long in SIGNED-long
+    order, as a DuckDB UBIGINT (bit 63 xor-flipped so unsigned comparison
+    reproduces Java's signed comparison).  Mirrors cell_column(precision=12)
+    as used for the multi-value first-point selection (P6)."""
+    lon_e = (
+        f"((xor(floor(least({lon_expr}, 179.99999999999997) / (360.0/4294967296.0))::BIGINT,"
+        f" 2147483648)) & 4294967295)::UBIGINT"
+    )
+    lat_e = (
+        f"((xor(floor(least({lat_expr}, 89.99999999999999) / (180.0/4294967296.0))::BIGINT,"
+        f" 2147483648)) & 4294967295)::UBIGINT"
+    )
+    morton = f"({_spread_bits_sql(lat_e)} | ({_spread_bits_sql(lon_e)} * 2::UBIGINT))"
+    packed = f"((({morton} >> 4::UBIGINT) * 16::UBIGINT) | 12::UBIGINT)"
+    return f"xor({packed}, 9223372036854775808::UBIGINT)"
+
+
 # --- md5-derived 60-bit hash (extras/dedup.py::md5_long) --------------------
 
 
