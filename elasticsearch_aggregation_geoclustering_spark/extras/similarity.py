@@ -27,6 +27,33 @@ def _dot(a: Column, b: Column) -> Column:
     )
 
 
+def cosine_pairs_column(vec_a: Column, vec_b: Column) -> Column:
+    """cosine(vec_a, vec_b) via an Arrow-batched numpy UDF.
+
+    For pair-verification stages the candidate count is large and Spark
+    evaluates higher-order-function lambdas interpreted, so the JVM
+    ``aggregate(zip_with(...))`` dot product costs ~64 interpreted ops per
+    dim per pair; one einsum per Arrow batch replaces all of it.  float64
+    accumulation, same math as ``_dot`` up to summation association (the
+    pairwise numpy sum differs from the sequential fold in the last ulp —
+    callers compare at ≥1e-12 tolerance or round, as the oracles do).
+    """
+    from pyspark.sql.types import DoubleType
+
+    @F.pandas_udf(DoubleType())
+    def _cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        if len(a) == 0:
+            return pd.Series(np.empty(0, dtype=np.float64))
+        ma = np.array(a.tolist(), dtype=np.float64)
+        mb = np.array(b.tolist(), dtype=np.float64)
+        dots = np.einsum("ij,ij->i", ma, mb)
+        na = np.sqrt(np.einsum("ij,ij->i", ma, ma))
+        nb = np.sqrt(np.einsum("ij,ij->i", mb, mb))
+        return pd.Series(dots / (na * nb))
+
+    return _cos(vec_a, vec_b)
+
+
 def cosine_to_query(vec: Column, query_vec: list[float]) -> Column:
     """Cosine(vec, query) as a pure JVM column expression."""
     q = np.asarray(query_vec, dtype=np.float64)
@@ -184,10 +211,9 @@ def rp_band_near_pairs(
         cand.join(vecs.select(F.col("vid").alias("id_a"), F.col("vec").alias("vec_a")), on="id_a")
         .join(vecs.select(F.col("vid").alias("id_b"), F.col("vec").alias("vec_b")), on="id_b")
     )
-    cos = _dot(F.col("vec_a"), F.col("vec_b")) / (
-        F.sqrt(_dot(F.col("vec_a"), F.col("vec_a")))
-        * F.sqrt(_dot(F.col("vec_b"), F.col("vec_b")))
-    )
+    # Arrow-batched verify: candidate counts are the large side of LSH, and
+    # one einsum per batch beats the interpreted per-dim HOF fold ~10x
+    cos = cosine_pairs_column(F.col("vec_a"), F.col("vec_b"))
     return pairs.select("id_a", "id_b", cos.alias("cosine")).where(
         F.col("cosine") >= threshold
     )

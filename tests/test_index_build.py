@@ -283,3 +283,32 @@ def test_pack_before_shuffle_is_byte_identical(spark, corpus, tmp_path_factory):
     assert a.completed_segment_ids() == b.completed_segment_ids()
     for sid, meta in a.segments.items():
         assert b.segments[sid]["sha256"] == meta["sha256"], f"segment {sid}"
+
+
+def test_resume_across_parallelism_levels(spark, corpus, tmp_path_factory):
+    """docIDs are a pure function of the key order, so a build started at one
+    parallelism and resumed at another must produce byte-identical segments
+    (the deterministic-bucket design's core claim)."""
+    full_dir = str(tmp_path_factory.mktemp("full_p"))
+    resumed_dir = str(tmp_path_factory.mktemp("resumed_p"))
+    docs = spark.createDataFrame(corpus).repartition(8)
+
+    build_index(spark, docs, full_dir, docs_per_segment=DOCS_PER_SEGMENT, num_partitions=3)
+
+    build_index(spark, docs, resumed_dir, docs_per_segment=DOCS_PER_SEGMENT, num_partitions=3)
+    manifest = load_manifest(resumed_dir)
+    victim_ids = sorted(manifest.completed_segment_ids())[1::2]
+    for sid in victim_ids:
+        os.remove(os.path.join(resumed_dir, "segments", f"seg_{sid:06d}.postings.parquet"))
+        del manifest.segments[str(sid)]
+    from elasticsearch_aggregation_geoclustering_spark.sources.segments import save_manifest
+
+    save_manifest(resumed_dir, manifest)
+    # resume at a DIFFERENT parallelism: different bucket boundaries, same ids
+    build_index(spark, docs, resumed_dir, docs_per_segment=DOCS_PER_SEGMENT, num_partitions=7)
+
+    full_manifest = load_manifest(full_dir)
+    resumed_manifest = load_manifest(resumed_dir)
+    assert full_manifest.completed_segment_ids() == resumed_manifest.completed_segment_ids()
+    for sid, meta in full_manifest.segments.items():
+        assert resumed_manifest.segments[sid]["sha256"] == meta["sha256"], f"segment {sid}"
