@@ -385,6 +385,13 @@ def _q_dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_dup_groups(_docs(spark, sf_dir), "text", "doc_id")
 
 
+def _q_dedup_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup as a row filter: keep the min-id row per distinct content
+    (the shape a training pipeline actually applies)."""
+    kept = dedup.dedup_exact(_docs(spark, sf_dir), "text", "doc_id")
+    return kept.select("doc_id")
+
+
 def _q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_pairs(_docs(spark, sf_dir), "text", "doc_id")
 
@@ -530,6 +537,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docmap_sha256": _q_docmap_sha256,
         # training-data pipeline: dedup
         "dedup_exact_groups": _q_dedup_exact_groups,
+        "dedup_keep_one": _q_dedup_keep_one,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_simhash_pairs": _q_dedup_simhash_pairs,
@@ -798,6 +806,10 @@ select (select count(*) from documents)::BIGINT as n_docs,
         "dedup_exact_groups": """
 select md5(text) as content_md5, min(doc_id)::BIGINT as keeper_id, count(*)::BIGINT as n_dups
 from documents group by 1
+""",
+        "dedup_keep_one": """
+select doc_id from documents
+where doc_id in (select min(doc_id) from documents group by md5(text))
 """,
         "dedup_minhash_lsh": osql.minhash_lsh_pairs_sql(max_bucket_size=LSH_MAX_BUCKET),
         "dedup_simhash": osql.simhash_sql(),
