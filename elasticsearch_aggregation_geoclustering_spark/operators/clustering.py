@@ -48,10 +48,38 @@ from pyspark.sql.types import (
     StructType,
 )
 
+import operator
+from collections.abc import Callable
+
 from ..geo import geohash, geohash_expr
 from ..geo.geohash import MAX_PRECISION as MAX_PRECISION_LEVEL
 from ..geo.planner import ClusteringPlan, plan_clustering
 from .merge import Cluster, merge_clusters
+
+
+@dataclass(frozen=True)
+class MetricSpec:
+    """A per-bucket sub-aggregation (P18, general form).
+
+    ``agg_fn(expr)`` runs inside the cell groupBy; in the shard-parity /
+    quantize modes the SAME ``agg_fn`` re-aggregates the shard partials, so
+    it must be self-mergeable (sum, min, max — express count as
+    ``sum(lit(1))``).  ``combine`` is the Python monoid the greedy merge
+    applies when one bucket absorbs another — the analog of
+    InternalAggregations.reduce for the absorbed child payloads.
+    """
+
+    agg_fn: Callable
+    expr: Column
+    combine: Callable = operator.add
+
+
+def _normalize_metrics(metrics: dict | None) -> dict[str, MetricSpec]:
+    """Back-compat: a bare Column means an additive sum metric."""
+    out: dict[str, MetricSpec] = {}
+    for name, v in (metrics or {}).items():
+        out[name] = v if isinstance(v, MetricSpec) else MetricSpec(F.sum, v)
+    return out
 
 
 def cell_column(lon: Column, lat: Column, precision: int) -> Column:
@@ -194,15 +222,17 @@ def _cell_aggregate(
     shard_parity: bool = False,
     shard_col: str | None = None,
 ) -> DataFrame:
-    metrics = metrics or {}
+    specs = _normalize_metrics(metrics)
     base = df.select(
         cell_column(F.col(lon_col), F.col(lat_col), plan.precision).alias("cell"),
         F.col(lat_col).cast("double").alias("_lat"),
         F.col(lon_col).cast("double").alias("_lon"),
         *([F.col(shard_col).alias("_shard")] if shard_col else []),
-        *[expr.alias(f"_m_{name}") for name, expr in metrics.items()],
+        *[spec.expr.alias(f"_m_{name}") for name, spec in specs.items()],
     )
-    metric_aggs = [F.sum(f"_m_{name}").alias(name) for name in metrics]
+    metric_aggs = [
+        spec.agg_fn(F.col(f"_m_{name}")).alias(name) for name, spec in specs.items()
+    ]
 
     if not quantize_wire and not shard_parity:
         return base.groupBy("cell").agg(
@@ -230,7 +260,10 @@ def _cell_aggregate(
             F.count(F.lit(1)).alias("_cnt"),
             (F.sum("_lat") / F.count(F.lit(1))).alias("_plat"),
             (F.sum("_lon") / F.count(F.lit(1))).alias("_plon"),
-            *[F.sum(f"_m_{name}").alias(f"_m_{name}") for name in metrics],
+            *[
+                spec.agg_fn(F.col(f"_m_{name}")).alias(f"_m_{name}")
+                for name, spec in specs.items()
+            ],
         )
     )
     if shard_parity:
@@ -253,7 +286,10 @@ def _cell_aggregate(
         F.sum("_cnt").alias("doc_count"),
         (F.sum(F.col("_qlat") * F.col("_cnt")) / F.sum("_cnt")).alias("centroid_lat"),
         (F.sum(F.col("_qlon") * F.col("_cnt")) / F.sum("_cnt")).alias("centroid_lon"),
-        *[F.sum(f"_m_{name}").alias(name) for name in metrics],
+        *[
+            spec.agg_fn(F.col(f"_m_{name}")).alias(name)
+            for name, spec in specs.items()
+        ],
     )
 
 
@@ -328,23 +364,28 @@ def geo_point_clustering(
     rows = (
         cells_df.orderBy(F.desc("cell")).limit(plan.size).collect()
     )  # TakeOrderedAndProject; ≤ size rows reach the driver
-    metric_names = list((metrics or {}).keys())
+    specs = _normalize_metrics(metrics)
     candidates = [
         Cluster(
             cell=row["cell"],
             lat=row["centroid_lat"],
             lon=row["centroid_lon"],
             doc_count=row["doc_count"],
-            metrics={name: row[name] for name in metric_names},
+            metrics={name: row[name] for name in specs},
         )
         for row in rows
     ]
-    clusters = merge_clusters(candidates, plan.radius_m, plan.ratio)
+    metric_merge = {name: spec.combine for name, spec in specs.items()}
+    clusters = merge_clusters(candidates, plan.radius_m, plan.ratio, metric_merge)
     if sample_fraction is not None and sample_fraction < 1:
         for c in clusters:
-            # SamplingContext.scaleUp rounds (Math.round), not truncates
+            # SamplingContext.scaleUp rounds (Math.round), not truncates;
+            # only additive payloads rescale (a sampled max is still a max)
             c.doc_count = int(round(c.doc_count / sample_fraction))
-            c.metrics = {k: v / sample_fraction for k, v in c.metrics.items()}
+            c.metrics = {
+                k: (v / sample_fraction if specs[k].combine is operator.add else v)
+                for k, v in c.metrics.items()
+            }
     return ClusteringResult(plan=plan, clusters=clusters)
 
 

@@ -70,13 +70,21 @@ def _arc_np(lat1: float, lon1: float, lat2: np.ndarray, lon2: np.ndarray) -> np.
 
 
 def merge_clusters(
-    candidates: list[Cluster], radius_m: float, ratio: float
+    candidates: list[Cluster],
+    radius_m: float,
+    ratio: float,
+    metric_merge: dict | None = None,
 ) -> list[Cluster]:
     """Run the two-pass greedy merge over key-descending candidates.
 
     ``candidates`` must already be sorted by ``cell`` descending and truncated
     to ``size`` (the caller does the reference's P13 truncate-by-key).
     Mutates and returns the surviving clusters in visit order.
+
+    ``metric_merge`` maps metric name → binary combine fn for absorbed
+    buckets' sub-aggregation payloads (any commutative monoid: min, max,
+    hll-union, ...); unnamed metrics combine additively, the
+    InternalAggregations.reduce default for doc-count-style metrics.
     """
     n = len(candidates)
     if n == 0:
@@ -103,7 +111,13 @@ def merge_clusters(
             blon = (blon * bcnt + float(lon[j]) * float(cnt[j])) / merged
             bcnt = merged
             for key, val in other.metrics.items():
-                bucket.metrics[key] = bucket.metrics.get(key, 0) + val
+                fn = (metric_merge or {}).get(key)
+                if key not in bucket.metrics:
+                    bucket.metrics[key] = val
+                elif fn is not None:
+                    bucket.metrics[key] = fn(bucket.metrics[key], val)
+                else:
+                    bucket.metrics[key] = bucket.metrics[key] + val
             bucket.cells.append(other.cell)
 
         # first pass: scan the (unvisited, later) candidates in order; the
@@ -199,7 +213,10 @@ def merge_clusters_batched(
 
 
 def merge_clusters_reference(
-    candidates: list[Cluster], radius_m: float, ratio: float
+    candidates: list[Cluster],
+    radius_m: float,
+    ratio: float,
+    metric_merge: dict | None = None,
 ) -> list[Cluster]:
     """Element-by-element transliteration of the reference merge loop.
 
@@ -222,7 +239,13 @@ def merge_clusters_reference(
             bucket.lon = (bucket.lon * bucket.doc_count + other.lon * other.doc_count) / merged
             bucket.doc_count = merged
             for key, val in other.metrics.items():
-                bucket.metrics[key] = bucket.metrics.get(key, 0) + val
+                fn = (metric_merge or {}).get(key)
+                if key not in bucket.metrics:
+                    bucket.metrics[key] = val
+                elif fn is not None:
+                    bucket.metrics[key] = fn(bucket.metrics[key], val)
+                else:
+                    bucket.metrics[key] = bucket.metrics[key] + val
             bucket.cells.append(other.cell)
         elif revisit is not None and ratio > 0 and fixed_radius > 0 and dist / fixed_radius < ratio:
             revisit.append(other)

@@ -163,3 +163,59 @@ def test_sub_aggregation_metrics(paris_df, spark):
     )
     total = sum(c.metrics["sum_doc_id"] for c in result.clusters)
     assert total == sum(range(1, 16))
+
+
+def test_general_metric_specs(paris_df, spark):
+    """P18 general form: min/max/count monoid sub-aggregations survive both
+    the cell aggregation and the greedy merge."""
+    from pyspark.sql import functions as F
+
+    from elasticsearch_aggregation_geoclustering_spark.operators.clustering import (
+        MetricSpec,
+    )
+
+    result = geo_point_clustering(
+        paris_df,
+        "lon",
+        "lat",
+        9,
+        metrics={
+            "min_id": MetricSpec(F.min, F.col("doc_id"), min),
+            "max_id": MetricSpec(F.max, F.col("doc_id"), max),
+            "n": MetricSpec(F.sum, F.lit(1)),
+        },
+    )
+    by_count = {c.doc_count: c for c in result.clusters}
+    assert set(by_count) == {9, 6}
+    for c in result.clusters:
+        assert c.metrics["n"] == c.doc_count
+        assert c.metrics["min_id"] <= c.metrics["max_id"]
+    # ids 1..15: the two clusters partition them, so the global min/max land
+    # in exactly one cluster each
+    assert min(c.metrics["min_id"] for c in result.clusters) == 1
+    assert max(c.metrics["max_id"] for c in result.clusters) == 15
+
+
+def test_metric_specs_in_shard_parity_mode(paris_df, spark):
+    from pyspark.sql import functions as F
+
+    from elasticsearch_aggregation_geoclustering_spark.operators.clustering import (
+        MetricSpec,
+        geo_cell_aggregate,
+    )
+
+    df = paris_df.withColumn("shard", F.col("doc_id") % 3)
+    cells = geo_cell_aggregate(
+        df,
+        zoom=9,
+        shard_parity=True,
+        shard_col="shard",
+        metrics={"max_id": MetricSpec(F.max, F.col("doc_id"), max)},
+        size=100,
+    )
+    rows = {r["cell"]: r["max_id"] for r in cells.collect()}
+    exact = geo_cell_aggregate(
+        df, zoom=9, metrics={"max_id": MetricSpec(F.max, F.col("doc_id"), max)}
+    )
+    exact_rows = {r["cell"]: r["max_id"] for r in exact.collect()}
+    assert rows == exact_rows  # under shard_size: parity == exact, max re-agg correct
