@@ -351,15 +351,71 @@ def _bucket_pairs(
     )
 
 
-def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+def _simhash_arrow_fn(text_col: str, id_col: str):
+    """mapInPandas simhash: tokenize → distinct tokens → md5 (once per
+    distinct string per batch) → ±1 bit-vote matrix → reduceat per doc.
+    Map-only: the fingerprint never needs a shuffle at all."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.tokenizer import tokenize_pandas
+
+    bit_shifts = np.arange(SIMHASH_BITS, dtype=np.uint64)
+
+    def run(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            tokens = tokenize_pandas(pdf[text_col])
+            per_doc = [list(dict.fromkeys(t)) for t in tokens]
+            counts = np.array([len(t) for t in per_doc], dtype=np.int64)
+            keep = counts > 0
+            if not keep.any():
+                continue
+            flat = [t for toks in per_doc for t in toks]
+            uniq, inv = np.unique(np.array(flat, dtype=object), return_inverse=True)
+            hv = np.fromiter(
+                (int(hashlib.md5(s.encode()).hexdigest()[:15], 16) for s in uniq),
+                dtype=np.uint64,
+                count=len(uniq),
+            )
+            votes = (
+                ((hv[inv][:, None] >> bit_shifts[None, :]) & np.uint64(1)).astype(np.int16)
+                * 2
+                - 1
+            )  # (n_occ, 60) in {-1, +1}; int16 holds sums for docs < 32k tokens
+            starts = np.concatenate(([0], np.cumsum(counts[keep])[:-1]))
+            sums = np.add.reduceat(votes.astype(np.int32), starts, axis=0)
+            fp = ((sums > 0).astype(np.uint64) << bit_shifts[None, :]).sum(
+                axis=1, dtype=np.uint64
+            )
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col].to_numpy()[keep], "simhash": fp.astype(np.int64)}
+            )
+
+    return run
+
+
+def simhash(df: DataFrame, text_col: str, id_col: str, *, engine: str = "arrow") -> DataFrame:
     """60-bit SimHash per document: ``(doc_id, simhash: long)``.
 
     Token hash = md5-derived 60-bit int over DISTINCT tokens; bit b of the
     fingerprint is 1 iff more token hashes have bit b set than clear.
-    The 60 per-bit counters are 60 independent agg expressions over the
-    exploded (doc, token-hash) rows — one shuffle keyed by doc_id, no
-    row-per-bit explosion.
+    Engines produce IDENTICAL fingerprints (pinned by test):
+
+    * ``arrow`` (default): map-only numpy/hashlib batch — no shuffle, no
+      interpreted expressions.
+    * ``jvm``: 60 independent agg expressions over exploded (doc, hash)
+      rows — one shuffle keyed by doc_id, zero Python workers.
     """
+    if engine == "arrow":
+        return df.select(id_col, text_col).mapInPandas(
+            _simhash_arrow_fn(text_col, id_col), "doc_id long, simhash long"
+        )
+    if engine != "jvm":
+        raise ValueError(f"unknown engine: {engine!r} (want 'arrow' or 'jvm')")
     toks = tokenize_column(F.col(text_col))
     hashed = df.select(
         F.col(id_col).alias("doc_id"),
@@ -386,6 +442,7 @@ def simhash_near_pairs(
     *,
     max_hamming: int = 3,
     bands: int = 5,
+    engine: str = "arrow",
 ) -> DataFrame:
     """Near-dup pairs by SimHash: ``(doc_a, doc_b, hamming)``.
 
@@ -396,7 +453,7 @@ def simhash_near_pairs(
     """
     width = SIMHASH_BITS // bands
     mask = (1 << width) - 1
-    sh = simhash(df, text_col, id_col)
+    sh = simhash(df, text_col, id_col, engine=engine)
     chunks = sh.select(
         "doc_id",
         "simhash",
@@ -421,6 +478,41 @@ def simhash_near_pairs(
     groups = chunks.groupBy("chunk", "val").agg(members.alias("ms")).where(
         F.size("ms") >= 2
     )
+    if engine == "arrow":
+        # numpy pair expansion: triu indices + byte-LUT popcount per bucket —
+        # the interpreted nested-lambda expansion costs ~30µs per candidate
+        # pair, which dominates on near-dup-heavy corpora
+        import numpy as np
+        import pandas as pd
+
+        lut = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+        def expand(batches):
+            for pdf in batches:
+                out_a, out_b, out_h = [], [], []
+                for ms in pdf["ms"]:
+                    ids = np.array([m["doc_id"] for m in ms], dtype=np.int64)
+                    hv = np.array([m["simhash"] for m in ms], dtype=np.uint64)
+                    ia, ib = np.triu_indices(len(ids), 1)
+                    x = (hv[ia] ^ hv[ib]).view(np.uint8).reshape(-1, 8)
+                    h = lut[x].sum(axis=1).astype(np.int64)
+                    m = h <= max_hamming
+                    out_a.append(ids[ia][m])
+                    out_b.append(ids[ib][m])
+                    out_h.append(h[m])
+                if out_a:
+                    yield pd.DataFrame(
+                        {
+                            "doc_a": np.concatenate(out_a),
+                            "doc_b": np.concatenate(out_b),
+                            "hamming": np.concatenate(out_h),
+                        }
+                    )
+
+        return (
+            groups.mapInPandas(expand, "doc_a long, doc_b long, hamming long")
+            .distinct()
+        )
     pair_structs = F.filter(
         F.flatten(
             F.transform(

@@ -112,3 +112,12 @@ def test_minhash_engines_identical(spark):
         ).collect()
     }
     assert a1 == b1
+
+
+def test_simhash_engines_identical(spark):
+    from elasticsearch_aggregation_geoclustering_spark.extras import dedup
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs, "text", "doc_id", engine="arrow").collect()}
+    b = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs, "text", "doc_id", engine="jvm").collect()}
+    assert a == b
