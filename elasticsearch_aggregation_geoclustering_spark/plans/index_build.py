@@ -75,6 +75,7 @@ from ..sources.segments import (
     SEGMENT_MANIFEST_SPARK_SCHEMA,
     IndexManifest,
     load_manifest,
+    load_stats,
     save_manifest,
     save_stats,
 )
@@ -559,6 +560,144 @@ def build_index(
         .parquet(term_stats_dir)
     )
 
+    n_docs_total = sum(m["n_docs"] for m in manifest.segments.values())
+    total_tokens = sum(m["total_tokens"] for m in manifest.segments.values())
+    stats = {
+        "n_docs": int(n_docs_total),
+        "total_tokens": int(total_tokens),
+        "avgdl": (total_tokens / n_docs_total) if n_docs_total else 0.0,
+        "n_segments": len(manifest.segments),
+        "tokenizer_version": manifest.tokenizer_version,
+    }
+    save_stats(index_dir, stats)
+    return stats
+
+
+def append_index(
+    spark: SparkSession,
+    docs: DataFrame,
+    index_dir: str,
+    *,
+    content_col: str = "content",
+    key_cols: tuple[str, ...] = ("repo", "path", "commit"),
+    docmap_cols: tuple[str, ...] = (),
+    num_partitions: int | None = None,
+    pack_before_shuffle: bool = False,
+    n_docs_hint: int | None = None,
+) -> dict:
+    """Append a batch of NEW documents to an existing index (ES ``_bulk``).
+
+    Elasticsearch indexing is incremental: each refresh adds small segments
+    and background merges compact them.  Same shape here: the batch gets
+    fresh docIDs starting at the next segment boundary after the existing
+    maximum (``base_sid·docs_per_segment`` — the gap of < docs_per_segment
+    unused ids keeps the segment-range invariant without rewriting the last
+    partial segment), builds its own segments with the same deterministic
+    bucket machinery, and the global term stats are recomputed from the
+    per-segment df rows (tiny).  Compact with ``merge_segments`` when small
+    segments accumulate.
+
+    Append-only semantics: keys are assumed NEW (no upsert — dedupe upstream,
+    e.g. dedup.dedup_exact).  Batches are resumable like full builds: a
+    killed append re-run completes only the missing segments byte-identically.
+    """
+    manifest = load_manifest(index_dir)
+    if manifest is None:
+        return build_index(
+            spark,
+            docs,
+            index_dir,
+            content_col=content_col,
+            key_cols=key_cols,
+            docmap_cols=docmap_cols,
+            num_partitions=num_partitions,
+            pack_before_shuffle=pack_before_shuffle,
+            n_docs_hint=n_docs_hint,
+        )
+    docs_per_segment = manifest.docs_per_segment
+    num_partitions = num_partitions or spark.sparkContext.defaultParallelism
+
+    existing = manifest.completed_segment_ids() | {
+        int(k) for k in seg_store.load_manifest_parts(index_dir)
+    }
+    base_sid = (max(existing) + 1) if existing else 0
+    id_offset = base_sid * docs_per_segment
+
+    n_new = n_docs_hint if n_docs_hint is not None else docs.select(*key_cols).count()
+    if n_new == 0:
+        return load_stats(index_dir)
+    bounds = _sample_key_boundaries(docs, key_cols, n_new, 2 * num_partitions)
+    bexpr = _bucket_column(key_cols, bounds, dict(docs.dtypes))
+    counts = {
+        r["_b"]: r["cnt"]
+        for r in docs.select(bexpr.alias("_b"))
+        .groupBy("_b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    offsets = {b: off + id_offset for b, off in _bucket_offsets(counts).items()}
+    manifest.num_segments_expected = base_sid + (
+        (n_new + docs_per_segment - 1) // docs_per_segment
+    )
+    save_manifest(index_dir, manifest)
+
+    # a resumed append skips batch segments whose artifacts already exist
+    done = frozenset(
+        sid
+        for sid in existing
+        if os.path.exists(seg_store.segment_postings_path(index_dir, sid))
+    )
+
+    dm_cols = tuple([*key_cols, *docmap_cols])
+    work = docs.select(*key_cols, *docmap_cols, content_col).withColumn(
+        "sha256", F.sha2(F.col(content_col).cast("binary"), 256)
+    )
+    if pack_before_shuffle:
+        pack_schema = ", ".join(
+            [f"`{n}` {t}" for n, t in work.drop(content_col).dtypes]
+            + ["terms_blob string", "tfs_vb binary", "n_terms long"]
+        )
+        work = work.mapInPandas(_pack_fn(content_col, [*dm_cols, "sha256"]), pack_schema)
+    ranged = (
+        work.withColumn("_b", bexpr)
+        .repartitionByRange(num_partitions, "_b")
+        .sortWithinPartitions("_b", *[F.col(c) for c in key_cols])
+    )
+    frag_schema = ", ".join(
+        ["doc_id long"]
+        + [f"`{n}` {t}" for n, t in ranged.drop("_b").dtypes]
+        + ["seg_id long"]
+    )
+    frags = ranged.mapInPandas(
+        _partition_builder_fn(
+            index_dir, offsets, docs_per_segment, content_col, dm_cols, done
+        ),
+        frag_schema,
+    )
+    frag_rows = (
+        frags.groupBy("seg_id")
+        .applyInPandas(
+            _build_segment_fn(index_dir, content_col, dm_cols),
+            SEGMENT_MANIFEST_SPARK_SCHEMA,
+        )
+        .collect()
+    )
+    for row in frag_rows:
+        manifest.segments[str(row["seg_id"])] = row.asDict()
+    for sid, meta in seg_store.load_manifest_parts(index_dir).items():
+        manifest.segments.setdefault(sid, meta)
+    save_manifest(index_dir, manifest)
+
+    postings = spark.read.parquet(seg_store.segments_glob(index_dir))
+    stats_parts = max(1, min(num_partitions, len(manifest.segments)))
+    (
+        postings.groupBy("term")
+        .agg(F.sum("df").alias("df"))
+        .repartitionByRange(stats_parts, "term")
+        .sortWithinPartitions("term")
+        .write.mode("overwrite")
+        .parquet(os.path.join(index_dir, "term_stats"))
+    )
     n_docs_total = sum(m["n_docs"] for m in manifest.segments.values())
     total_tokens = sum(m["total_tokens"] for m in manifest.segments.values())
     stats = {

@@ -1,0 +1,104 @@
+"""Incremental append (ES _bulk) + Structured Streaming ingestion.
+
+append_index gives each batch fresh docIDs starting at the next segment
+boundary, so batches never rewrite existing segments; search/match results
+over the final index must equal a from-scratch python tokenization of the
+union corpus.  stream_index drives the same path through a real
+readStream → foreachBatch → availableNow query.
+"""
+
+from __future__ import annotations
+
+import os
+from collections import Counter
+
+import pytest
+
+from elasticsearch_aggregation_geoclustering_spark.functions.tokenizer import (
+    tokenize_python,
+)
+from elasticsearch_aggregation_geoclustering_spark.plans.index_build import (
+    append_index,
+    build_index,
+)
+from elasticsearch_aggregation_geoclustering_spark.plans.query import InvertedIndex
+from elasticsearch_aggregation_geoclustering_spark.testing import synth_documents
+
+DPS = 32
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return synth_documents(200)
+
+
+def _expected_counts(frames, terms):
+    df_counts = Counter()
+    for frame in frames:
+        for content in frame["content"]:
+            toks = set(tokenize_python(content))
+            for t in terms:
+                if t in toks:
+                    df_counts[t] += 1
+    return df_counts
+
+
+def test_append_index_matches_union(spark, corpus, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("appended"))
+    part1, part2 = corpus.iloc[:120], corpus.iloc[120:]
+    stats1 = build_index(
+        spark, spark.createDataFrame(part1), d, docs_per_segment=DPS
+    )
+    stats2 = append_index(
+        spark, spark.createDataFrame(part2), d
+    )
+    assert stats1["n_docs"] == 120
+    assert stats2["n_docs"] == 200
+    idx = InvertedIndex.open(spark, d)
+    probe = ["return", "import", "error", "uniq_7"]
+    expected = _expected_counts([part1, part2], probe)
+    for t in probe:
+        assert idx.match_count([t]) == expected[t], t
+    # docmap covers the union, sha256 intact, ids unique
+    rows = idx.docmap().collect()
+    assert len(rows) == 200
+    ids = [r["doc_id"] for r in rows]
+    assert len(set(ids)) == 200
+    # batch-2 ids start at the next segment boundary after batch 1
+    import math
+
+    base = math.ceil(120 / DPS) * DPS
+    assert min(i for i in ids if i >= 120) >= base
+
+
+def test_append_to_missing_index_builds(spark, corpus, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("fresh"))
+    stats = append_index(spark, spark.createDataFrame(corpus.iloc[:50]), d)
+    assert stats["n_docs"] == 50
+
+
+def test_stream_index_availablenow(spark, corpus, tmp_path_factory):
+    src = str(tmp_path_factory.mktemp("stream_src"))
+    d = str(tmp_path_factory.mktemp("stream_idx"))
+    ckpt = str(tmp_path_factory.mktemp("ckpt"))
+    schema = "repo string, path string, commit string, lang string, content string, lon double, lat double"
+
+    from elasticsearch_aggregation_geoclustering_spark.streaming import stream_index
+
+    spark.createDataFrame(corpus.iloc[:100]).coalesce(1).write.mode("append").parquet(src)
+    stream_index(
+        spark, src, d, schema=schema, checkpoint_dir=ckpt, num_partitions=2
+    )
+    idx = InvertedIndex.open(spark, d)
+    assert idx.n_docs == 100
+
+    # more files arrive; a second availableNow drain appends only the delta
+    spark.createDataFrame(corpus.iloc[100:]).coalesce(1).write.mode("append").parquet(src)
+    stream_index(
+        spark, src, d, schema=schema, checkpoint_dir=ckpt, num_partitions=2
+    )
+    idx = InvertedIndex.open(spark, d)
+    assert idx.n_docs == 200
+    expected = _expected_counts([corpus], ["return", "uniq_3"])
+    assert idx.match_count(["return"]) == expected["return"]
+    assert idx.match_count(["uniq_3"]) == expected["uniq_3"]
