@@ -590,22 +590,31 @@ def ngram_jaccard_pairs_minhash(
         F.col(id_col).alias("doc_id"),
         word_shingles(toks, shingle_k).alias("sset"),
     ).where(F.size("sset") > 0)
-    joined = (
-        pairs.join(
-            sets.select(F.col("doc_id").alias("doc_a"), F.col("sset").alias("set_a")),
-            on="doc_a",
+    # melt each pair to two (pair-key, doc) rows and join the shingle sets
+    # ONCE: two per-side joins would run the tokenize→shingle lineage twice
+    # and shuffle the set table twice (no ReusedExchange across different
+    # projections); the melted shape shuffles it once.  doc_a < doc_b, so
+    # min_by/max_by on doc_id recovers which set is which.
+    pk = F.struct("doc_a", "doc_b").alias("pk")
+    melted = pairs.select(F.col("doc_a").alias("doc_id"), pk).unionByName(
+        pairs.select(F.col("doc_b").alias("doc_id"), pk)
+    )
+    both = (
+        melted.join(sets, on="doc_id")
+        .groupBy("pk")
+        .agg(
+            F.min_by("sset", "doc_id").alias("set_a"),
+            F.max_by("sset", "doc_id").alias("set_b"),
+            F.count(F.lit(1)).alias("_n"),
         )
-        .join(
-            sets.select(F.col("doc_id").alias("doc_b"), F.col("sset").alias("set_b")),
-            on="doc_b",
-        )
+        .where(F.col("_n") == 2)  # drop pairs whose doc lost its shingle set
     )
     inter = F.size(F.array_intersect(F.col("set_a"), F.col("set_b")))
     union = F.size(F.array_union(F.col("set_a"), F.col("set_b")))
     return (
-        joined.select(
-            "doc_a",
-            "doc_b",
+        both.select(
+            F.col("pk.doc_a").alias("doc_a"),
+            F.col("pk.doc_b").alias("doc_b"),
             (inter.cast("double") / union.cast("double")).alias("jaccard"),
         )
         .where(F.col("jaccard") >= threshold)
