@@ -102,3 +102,27 @@ def test_stream_index_availablenow(spark, corpus, tmp_path_factory):
     expected = _expected_counts([corpus], ["return", "uniq_3"])
     assert idx.match_count(["return"]) == expected["return"]
     assert idx.match_count(["uniq_3"]) == expected["uniq_3"]
+
+
+def test_merge_segments_after_append(spark, corpus, tmp_path_factory):
+    """H4 over an appended index: segment doc ranges stay disjoint and
+    seg_id-ordered even with the append id gaps, so the fanin merge must
+    preserve every decoded posting."""
+    from elasticsearch_aggregation_geoclustering_spark.plans.index_build import (
+        merge_segments,
+    )
+
+    d = str(tmp_path_factory.mktemp("app_merge"))
+    merged = str(tmp_path_factory.mktemp("app_merged"))
+    build_index(spark, spark.createDataFrame(corpus.iloc[:110]), d, docs_per_segment=DPS)
+    append_index(spark, spark.createDataFrame(corpus.iloc[110:]), d)
+    idx = InvertedIndex.open(spark, d)
+    merge_segments(spark, d, merged, fanin=4)
+    midx = InvertedIndex(spark, merged, idx.n_docs, idx.avgdl)
+
+    probe = ["return", "import", "uniq_9"]
+    key = lambda r: (r["term"], r["doc_id"])
+    orig = {key(r): (r["tf"], r["dl"]) for r in idx.term_doc_rows(probe).collect()}
+    got = {key(r): (r["tf"], r["dl"]) for r in midx.term_doc_rows(probe).collect()}
+    assert orig == got
+    assert midx.postings(probe).count() <= idx.postings(probe).count()
