@@ -96,3 +96,10 @@ def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     assert df.count() >= 0
     assert len(df.columns) > 0
+
+
+def test_every_query_has_an_oracle():
+    """Contract integrity: no silent rows-only queries, no orphan oracles."""
+    q = set(entry_mod.queries())
+    o = set(entry_mod.oracle_sql())
+    assert q == o, f"queries-without-oracle: {q - o}; oracles-without-query: {o - q}"
