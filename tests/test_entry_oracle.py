@@ -58,6 +58,32 @@ def _norm(v):
     return v
 
 
+def _kind_spark(t: str) -> str:
+    t = t.lower()
+    if t in ("tinyint", "smallint", "int", "bigint", "long"):
+        return "int"
+    if t in ("float", "double") or t.startswith("decimal"):
+        return "float"
+    if t == "boolean":
+        return "bool"
+    return t  # string, binary, arrays — compare verbatim-ish
+
+
+def _kind_duck(t: str) -> str:
+    t = t.upper()
+    if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT", "HUGEINT", "UBIGINT", "UINTEGER"):
+        return "int"
+    if t in ("FLOAT", "DOUBLE", "REAL") or t.startswith("DECIMAL"):
+        return "float"
+    if t == "BOOLEAN":
+        return "bool"
+    if t in ("VARCHAR", "STRING"):
+        return "string"
+    if t == "BLOB":
+        return "binary"
+    return t.lower()
+
+
 def _multiset(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = {}
@@ -82,6 +108,18 @@ def test_query_matches_oracle(spark, duck, name):
     dcols = [d[0] for d in res.description]
     drows = res.fetchall()
     assert sorted(scols) == sorted(dcols), f"{name}: column sets differ"
+    # dtype-kind parity: the driver gate compares schemas, so an int vs
+    # float drift must fail here, not there (DESCRIBE gives real DuckDB
+    # types; the DBAPI description collapses all numerics to NUMBER)
+    skinds = {c: _kind_spark(t) for c, t in sdf.dtypes}
+    dkinds = {
+        r[0]: _kind_duck(str(r[1]))
+        for r in duck.execute("describe " + oracles[name]).fetchall()
+    }
+    for c in scols:
+        assert skinds[c] == dkinds[c], (
+            f"{name}.{c}: dtype kind differs (spark {skinds[c]} vs duck {dkinds[c]})"
+        )
     sm, dm = _multiset(srows, scols), _multiset(drows, dcols)
     if sm != dm:
         only_s = {k: v for k, v in sm.items() if dm.get(k) != v}
