@@ -598,8 +598,13 @@ def append_index(
     segments accumulate.
 
     Append-only semantics: keys are assumed NEW (no upsert — dedupe upstream,
-    e.g. dedup.dedup_exact).  Batches are resumable like full builds: a
-    killed append re-run completes only the missing segments byte-identically.
+    e.g. dedup.dedup_exact).  Batches are resumable AND idempotent: the
+    manifest's append ledger records each batch's exact fingerprint
+    (n_docs, min/max key) with its reserved base segment id, so a killed
+    append re-run completes only the missing segments byte-identically, and
+    an at-least-once redelivery (foreachBatch retry) is a no-op — without
+    the ledger, a resume would recompute the id base from its own half-built
+    segments and duplicate the batch under shifted ids.
     """
     manifest = load_manifest(index_dir)
     if manifest is None:
@@ -617,27 +622,49 @@ def append_index(
     docs_per_segment = manifest.docs_per_segment
     num_partitions = num_partitions or spark.sparkContext.defaultParallelism
 
-    existing = manifest.completed_segment_ids() | {
-        int(k) for k in seg_store.load_manifest_parts(index_dir)
-    }
-    base_sid = (max(existing) + 1) if existing else 0
-    id_offset = base_sid * docs_per_segment
-
     n_new = n_docs_hint if n_docs_hint is not None else docs.select(*key_cols).count()
     if n_new == 0:
         return load_stats(index_dir)
     bounds = _sample_key_boundaries(docs, key_cols, n_new, 2 * num_partitions)
     bexpr = _bucket_column(key_cols, bounds, dict(docs.dtypes))
-    counts = {
-        r["_b"]: r["cnt"]
-        for r in docs.select(bexpr.alias("_b"))
+    ks = _key_struct(key_cols)
+    count_rows = (
+        docs.select(bexpr.alias("_b"), ks.alias("_k"))
         .groupBy("_b")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.count(F.lit(1)).alias("cnt"), F.min("_k").alias("kmin"), F.max("_k").alias("kmax"))
         .collect()
+    )
+    counts = {r["_b"]: r["cnt"] for r in count_rows}
+    n_new = sum(counts.values())
+    batch_fp = {
+        "n_docs": int(n_new),
+        "min_key": list(min(tuple(r["kmin"]) for r in count_rows)),
+        "max_key": list(max(tuple(r["kmax"]) for r in count_rows)),
     }
+
+    # the ledger makes resumes/replays id-stable: a killed or re-delivered
+    # batch MUST NOT recompute base_sid from the segments it already half
+    # wrote (that would shift every remaining doc's id and duplicate docs).
+    # Keys are globally unique by contract, so an identical (n, min, max)
+    # fingerprint identifies the same batch.
+    existing = manifest.completed_segment_ids() | {
+        int(k) for k in seg_store.load_manifest_parts(index_dir)
+    }
+    prior = next(
+        (e for e in manifest.appends if all(e[k] == batch_fp[k] for k in batch_fp)),
+        None,
+    )
+    if prior is not None:
+        base_sid = int(prior["base_sid"])
+    else:
+        base_sid = max((max(existing) + 1) if existing else 0, manifest.num_segments_expected)
+        manifest.appends.append({**batch_fp, "base_sid": base_sid})
+    id_offset = base_sid * docs_per_segment
+
     offsets = {b: off + id_offset for b, off in _bucket_offsets(counts).items()}
-    manifest.num_segments_expected = base_sid + (
-        (n_new + docs_per_segment - 1) // docs_per_segment
+    manifest.num_segments_expected = max(
+        manifest.num_segments_expected,
+        base_sid + ((n_new + docs_per_segment - 1) // docs_per_segment),
     )
     save_manifest(index_dir, manifest)
 

@@ -74,6 +74,11 @@ class IndexManifest:
     tokenizer_version: str
     num_segments_expected: int
     segments: dict[str, dict] = field(default_factory=dict)  # seg_id -> SegmentMeta dict
+    #: append ledger: one entry per append batch, keyed by a cheap exact
+    #: batch fingerprint {n_docs, min_key, max_key, base_sid} — a replayed or
+    #: resumed batch matches its entry and reuses base_sid, so its docIDs are
+    #: stable and the append is idempotent (at-least-once foreachBatch safe)
+    appends: list = field(default_factory=list)
 
     def completed_segment_ids(self) -> set[int]:
         return {int(s) for s in self.segments}
@@ -97,6 +102,7 @@ def load_manifest(index_dir: str) -> IndexManifest | None:
         tokenizer_version=raw["tokenizer_version"],
         num_segments_expected=raw["num_segments_expected"],
         segments=raw.get("segments", {}),
+        appends=raw.get("appends", []),
     )
 
 

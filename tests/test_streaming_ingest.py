@@ -126,3 +126,47 @@ def test_merge_segments_after_append(spark, corpus, tmp_path_factory):
     got = {key(r): (r["tf"], r["dl"]) for r in midx.term_doc_rows(probe).collect()}
     assert orig == got
     assert midx.postings(probe).count() <= idx.postings(probe).count()
+
+
+def test_append_resume_is_id_stable(spark, corpus, tmp_path_factory):
+    """A killed append must resume with the SAME docID base: recomputing it
+    from the half-built batch segments would shift ids and duplicate docs."""
+    from elasticsearch_aggregation_geoclustering_spark.sources.segments import (
+        load_manifest,
+        save_manifest,
+        segment_postings_path,
+    )
+
+    clean = str(tmp_path_factory.mktemp("clean"))
+    crashed = str(tmp_path_factory.mktemp("crashed"))
+    p1, p2 = corpus.iloc[:100], corpus.iloc[100:]
+    for d in (clean, crashed):
+        build_index(spark, spark.createDataFrame(p1), d, docs_per_segment=DPS)
+        append_index(spark, spark.createDataFrame(p2), d)
+
+    # simulate the crash: drop some of the APPEND batch's segments
+    manifest = load_manifest(crashed)
+    batch_sids = sorted(
+        s for s in manifest.completed_segment_ids() if s >= 100 // DPS + 1
+    )
+    for sid in batch_sids[::2]:
+        os.remove(segment_postings_path(crashed, sid))
+        del manifest.segments[str(sid)]
+    save_manifest(crashed, manifest)
+
+    append_index(spark, spark.createDataFrame(p2), crashed)  # resume
+
+    a, b = load_manifest(clean), load_manifest(crashed)
+    assert a.completed_segment_ids() == b.completed_segment_ids()
+    for sid, meta in a.segments.items():
+        assert b.segments[sid]["sha256"] == meta["sha256"], f"segment {sid}"
+
+
+def test_append_replay_is_idempotent(spark, corpus, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("replay"))
+    p1, p2 = corpus.iloc[:100], corpus.iloc[100:]
+    build_index(spark, spark.createDataFrame(p1), d, docs_per_segment=DPS)
+    s1 = append_index(spark, spark.createDataFrame(p2), d)
+    s2 = append_index(spark, spark.createDataFrame(p2), d)  # redelivery
+    assert s1 == s2
+    assert s2["n_docs"] == 200
