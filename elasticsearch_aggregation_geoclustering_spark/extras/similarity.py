@@ -176,7 +176,12 @@ def rp_band_near_pairs(
         raise ValueError("n_planes must divide evenly into bands")
     width = n_planes // bands
     mask = (1 << width) - 1
-    dim = len(df.select(vec_col).first()[0])
+    first = df.select(vec_col).first()
+    if first is None:  # empty input -> empty, well-typed pair frame
+        return df.sparkSession.createDataFrame(
+            [], "id_a long, id_b long, cosine double"
+        )
+    dim = len(first[0])
     planes = rp_planes(dim, n_planes, seed)
     # band rows carry ONLY (vid, band, bits): the candidate join never
     # shuffles a vector; vectors rejoin by uniform id after pair dedup

@@ -634,6 +634,8 @@ def append_index(
         .agg(F.count(F.lit(1)).alias("cnt"), F.min("_k").alias("kmin"), F.max("_k").alias("kmax"))
         .collect()
     )
+    if not count_rows:  # hint said rows exist but the batch is actually empty
+        return load_stats(index_dir)
     counts = {r["_b"]: r["cnt"] for r in count_rows}
     n_new = sum(counts.values())
     batch_fp = {
