@@ -489,6 +489,13 @@ def _q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.lang_id(_docs(spark, sf_dir), "text", "doc_id")
 
 
+def _q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = textstats.unigram_logprob(_docs(spark, sf_dir), "text", "doc_id")
+    return scored.select(
+        "doc_id", "n_tokens", F.round("mean_logprob", 6).alias("mean_logprob")
+    )
+
+
 def _q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.fingerprint(_docs(spark, sf_dir), "text", "doc_id")
 
@@ -550,6 +557,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_count": _q_text_token_count,
         "text_quality": _q_text_quality,
         "text_lang_id": _q_text_lang_id,
+        "text_unigram_logprob": _q_text_unigram_logprob,
         "text_fingerprint": _q_text_fingerprint,
         "multimodal_meta": _q_multimodal_meta,
         "multimodal_features": _q_multimodal_features,
@@ -850,6 +858,20 @@ select doc_id, n_chars, n_tokens,
 from base
 """,
         "text_lang_id": osql.lang_id_sql(),
+        "text_unigram_logprob": f"""
+with toks as (select doc_id, unnest({toks}) as term from documents),
+doc_tf as (select doc_id, term, count(*)::BIGINT as tf from toks group by doc_id, term),
+gtf as (select term, sum(tf)::BIGINT as ctf from doc_tf group by term),
+tot as (select sum(tf)::DOUBLE as total from doc_tf),
+scored as (
+  select doc_id, sum(tf)::BIGINT as n_tokens,
+         sum(tf::DOUBLE * ln(ctf::DOUBLE / total)) / sum(tf) as mean_logprob
+  from doc_tf join gtf using (term) cross join tot group by doc_id
+)
+select d.doc_id, coalesce(s.n_tokens, 0)::BIGINT as n_tokens,
+       round(coalesce(s.mean_logprob, 0.0), 6) as mean_logprob
+from documents d left join scored s on s.doc_id = d.doc_id
+""",
         "text_fingerprint": f"""
 select doc_id,
        md5(array_to_string(list_sort(list_distinct({toks})), ' ')) as fp

@@ -102,3 +102,54 @@ def fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         F.col(id_col).alias("doc_id"),
         F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(toks)))).alias("fp"),
     )
+
+
+def unigram_logprob(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Corpus-LM quality score: mean unigram log-probability per doc.
+
+    The standard language-model quality filter shape (a doc whose tokens are
+    all corpus-common scores high; gibberish or off-domain docs score low),
+    with the corpus ITSELF as the model: p(t) = count(t) / total_tokens over
+    the whole input.
+
+    Returns ``(doc_id, n_tokens, mean_logprob)`` with mean_logprob = 0.0 for
+    empty docs.  Plan: one explode → per-(doc, term) counts → broadcast-able
+    join against the global term-frequency table (itself one groupBy over
+    the same exploded rows) → per-doc weighted mean.  Two shuffles over
+    (doc, term) rows, never over raw text; at corpus scale the global term
+    table is the only broadcast-or-shuffle-join decision, which AQE sizes.
+
+    ``ln`` of an exact integer ratio on both engines — the DuckDB oracle
+    matches at rounding level (see __spark_entry__).
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokenize_column(F.col(text_col))).alias("term"),
+    )
+    doc_tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    global_tf = doc_tf.groupBy("term").agg(F.sum("tf").alias("ctf"))
+    # total token count rides a scalar subplan via a broadcast cross join of
+    # the 1-row aggregate (no driver action needed)
+    total_df = doc_tf.agg(F.sum("tf").alias("total"))
+    scored = (
+        doc_tf.join(global_tf, on="term")
+        .crossJoin(F.broadcast(total_df))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            (
+                F.sum(
+                    F.col("tf").cast("double")
+                    * F.log(F.col("ctf").cast("double") / F.col("total").cast("double"))
+                )
+                / F.sum("tf")
+            ).alias("mean_logprob"),
+        )
+    )
+    # docs with zero tokens never reach the explode: re-join to keep them
+    all_ids = df.select(F.col(id_col).alias("doc_id"))
+    return all_ids.join(scored, on="doc_id", how="left").select(
+        "doc_id",
+        F.coalesce(F.col("n_tokens"), F.lit(0)).alias("n_tokens"),
+        F.coalesce(F.col("mean_logprob"), F.lit(0.0)).alias("mean_logprob"),
+    )
