@@ -420,8 +420,34 @@ def _q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         max_hamming=SIMHASH_MAX_HAMMING,
         bands=SIMHASH_BANDS,
+        max_bucket_size=LSH_MAX_BUCKET,
     )
     return pairs.select("doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming"))
+
+
+def _simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_near_pairs(
+        _docs(spark, sf_dir),
+        "text",
+        "doc_id",
+        max_hamming=SIMHASH_MAX_HAMMING,
+        bands=SIMHASH_BANDS,
+        max_bucket_size=LSH_MAX_BUCKET,
+    )
+
+
+def _q_dedup_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster resolution: pairs → connected components, the step a
+    training pipeline needs between pair generation and keeper selection."""
+    return dedup.connected_components(_simhash_pairs(spark, sf_dir))
+
+
+def _q_dedup_fuzzy_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy keep-one: drop every near-dup cluster member except the min id."""
+    kept = dedup.dedup_fuzzy_keep_one(
+        _docs(spark, sf_dir), _simhash_pairs(spark, sf_dir), "doc_id"
+    )
+    return kept.select("doc_id")
 
 
 def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
@@ -445,9 +471,10 @@ def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "embedding",
         threshold=NEAR_DUP_COS,
-        n_planes=RP_N_PLANES,
-        bands=RP_BANDS,
+        n_planes=RP_N_PLANES,  # narrow test params: recall-complete at sf
+        bands=RP_BANDS,  # scale; the cap below is what binds at corpus scale
         seed=RP_SEED,
+        max_bucket_size=LSH_MAX_BUCKET,
     )
     return pairs.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
@@ -549,6 +576,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _q_dedup_simhash,
         "dedup_simhash_pairs": _q_dedup_simhash_pairs,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
+        "dedup_cluster_labels": _q_dedup_cluster_labels,
+        "dedup_fuzzy_keep_one": _q_dedup_fuzzy_keep_one,
         # training-data pipeline: similarity search
         "ann_cosine_topk": _q_ann_cosine_topk,
         "embedding_near_dup": _q_embedding_near_dup,
@@ -608,13 +637,18 @@ with raw as (
 ),
 keyed as (select event_id, lon, lat, {cell} as cell, {ek} as ek from raw),
 first as (
-  select event_id, cell, arg_min(lon, ek) as lon, arg_min(lat, ek) as lat
+  -- ONE atomic first-point struct (two independent arg_mins could mix
+  -- lon/lat from different points on ek ties), ordered by (ek, lon, lat)
+  -- to mirror the Spark side's tie-broken min_by exactly
+  select event_id, cell,
+         (list({{'lon': lon, 'lat': lat}} order by ek, lon, lat))[1] as pt
   from keyed group by event_id, cell
-)
+),
+firstp as (select event_id, cell, pt.lon as lon, pt.lat as lat from first)
 select cell, count(*)::BIGINT as doc_count,
        round(avg(lat), 6) as centroid_lat,
        round(avg(lon), 6) as centroid_lon
-from first group by cell
+from firstp group by cell
 """
 
 
@@ -822,12 +856,28 @@ where doc_id in (select min(doc_id) from documents group by md5(text))
         "dedup_minhash_lsh": osql.minhash_lsh_pairs_sql(max_bucket_size=LSH_MAX_BUCKET),
         "dedup_simhash": osql.simhash_sql(),
         "dedup_simhash_pairs": osql.simhash_near_pairs_sql(
-            max_hamming=SIMHASH_MAX_HAMMING, bands=SIMHASH_BANDS
+            max_hamming=SIMHASH_MAX_HAMMING,
+            bands=SIMHASH_BANDS,
+            max_bucket_size=LSH_MAX_BUCKET,
         ),
         "dedup_ngram_jaccard": osql.ngram_jaccard_minhash_sql(
             shingle_k=JACCARD_K,
             threshold=JACCARD_THRESHOLD,
             max_bucket_size=LSH_MAX_BUCKET,
+        ),
+        "dedup_cluster_labels": osql.connected_components_sql(
+            osql.simhash_near_pairs_sql(
+                max_hamming=SIMHASH_MAX_HAMMING,
+                bands=SIMHASH_BANDS,
+                max_bucket_size=LSH_MAX_BUCKET,
+            )
+        ),
+        "dedup_fuzzy_keep_one": osql.fuzzy_keep_one_sql(
+            osql.simhash_near_pairs_sql(
+                max_hamming=SIMHASH_MAX_HAMMING,
+                bands=SIMHASH_BANDS,
+                max_bucket_size=LSH_MAX_BUCKET,
+            )
         ),
         "ann_cosine_topk": f"""
 with q as (select embedding as qv from embeddings where vec_id = 0)
@@ -841,6 +891,7 @@ limit {ANN_K}
             threshold=NEAR_DUP_COS,
             n_planes=RP_N_PLANES,
             bands=RP_BANDS,
+            max_bucket_size=LSH_MAX_BUCKET,
         ),
         "ann_lsh_topk": osql.rp_lsh_topk_sql(
             similarity.rp_planes(EMB_DIM, RP_N_PLANES, RP_SEED),

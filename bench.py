@@ -146,7 +146,10 @@ def main() -> None:
     timed(
         "ann_band_near_dup",
         lambda: similarity.rp_band_near_pairs(
-            emb, "vec_id", "embedding", threshold=0.4
+            # narrow bands (16-value buckets) + the cap: same params as the
+            # driver gate so timings stay comparable across rounds
+            emb, "vec_id", "embedding", threshold=0.4,
+            n_planes=16, bands=4, max_bucket_size=1000,
         ).count(),
     )
 

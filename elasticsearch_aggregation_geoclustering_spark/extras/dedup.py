@@ -123,13 +123,20 @@ def _shingle_hashes(df: DataFrame, text_col: str, id_col: str, shingle_k: int) -
 
 
 def _minhash_arrow_fn(
-    coeffs: list[tuple[int, int]], text_col: str, id_col: str, shingle_k: int
+    coeffs: list[tuple[int, int]],
+    text_col: str,
+    id_col: str,
+    shingle_k: int,
+    with_sets: bool = False,
 ):
     """mapInPandas minhash: tokenize → distinct shingles → md5 → fold, all
     numpy/hashlib per Arrow batch.  Distinct shingles are hashed ONCE per
     batch (template-heavy corpora repeat shingles heavily), and the 16 mins
     come from np.minimum.reduceat over per-doc segments — no per-row Python
-    beyond the tokenizer itself."""
+    beyond the tokenizer itself.  ``with_sets`` adds the distinct shingle
+    list itself as an ``sset`` column (first-occurrence order, same contents
+    as ``word_shingles``) so candidate-then-verify pipelines can persist ONE
+    frame instead of replaying the tokenize lineage per consumer."""
     import hashlib
 
     import numpy as np
@@ -182,6 +189,8 @@ def _minhash_arrow_fn(
                     "sig": [row.tolist() for row in sigs],
                 }
             )
+            if with_sets:
+                out["sset"] = [sh for sh, k in zip(doc_shingles, keep) if k]
             yield out
 
     return run
@@ -443,6 +452,7 @@ def simhash_near_pairs(
     max_hamming: int = 3,
     bands: int = 5,
     engine: str = "arrow",
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: ``(doc_a, doc_b, hamming)``.
 
@@ -450,6 +460,15 @@ def simhash_near_pairs(
     within ``max_hamming < bands`` must agree exactly on ≥1 chunk, so the
     candidate join is an equi-join on (chunk index, chunk value) — no cross
     join.  Hamming distance is a JVM ``bit_count(xor)`` on the candidates.
+
+    Chunk buckets larger than ``max_bucket_size`` are dropped BEFORE the
+    in-bucket pair expansion (window count over the same partitioning, like
+    ``_bucket_pairs``): the default 12-bit chunks have only 4 096 values per
+    band, so at corpus scale a uniform bucket holds ~N/4096 members and the
+    O(k²) expansion would otherwise be quadratic in N.  At 10⁹+ docs also
+    widen the chunks (fewer ``bands``, e.g. 3×20-bit — still exact for
+    ``max_hamming < bands`` ≤ 2) so the cap prunes degenerate near-dup mass,
+    not ordinary buckets.
     """
     width = SIMHASH_BITS // bands
     mask = (1 << width) - 1
@@ -471,6 +490,15 @@ def simhash_near_pairs(
             )
         ).alias("c"),
     ).select("doc_id", "simhash", "c.chunk", "c.val")
+    if max_bucket_size is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("chunk", "val")
+        chunks = (
+            chunks.withColumn("_n", F.count(F.lit(1)).over(w))
+            .where(F.col("_n") <= max_bucket_size)
+            .drop("_n")
+        )
     # one groupBy + in-bucket explosion (see _bucket_pairs): the fingerprint
     # rides along in the member struct, so hamming is computed in place and
     # the simhash aggregation lineage runs exactly once
@@ -569,27 +597,27 @@ def ngram_jaccard_pairs_minhash(
     DuckDB oracle reproduces the identical candidate set from the same
     (a, b) coefficients.
 
-    Plan note: the tokenize→shingle chain appears in three subplans (the
-    band rows, reused across the self-join via ReusedExchange, plus the two
-    set rejoins).  At corpus scale, persist or pre-materialize the shingle
-    sets table if tokenization dominates — the join structure itself stays
-    linear either way.
+    Plan note: signatures AND shingle sets come out of ONE Arrow tokenize
+    pass, persisted (memory-and-disk) — the band rows and both sides of the
+    melted set join read the cached frame, so the tokenize→shingle chain
+    runs exactly once per document regardless of how many downstream
+    subplans consume it.  (A naive composition replays it 3×; at corpus
+    scale tokenization is the dominant cost.)  The cache is left registered
+    on return — Spark evicts/spills it under pressure; callers running many
+    dedup passes in one session can ``spark.catalog.clearCache()`` between
+    them.
     """
-    pairs = minhash_lsh_pairs(
-        df,
-        text_col,
-        id_col,
-        num_hashes=num_hashes,
-        bands=bands,
-        shingle_k=shingle_k,
-        seed=seed,
-        max_bucket_size=max_bucket_size,
+    coeffs = minhash_coefficients(num_hashes, seed)
+    base = df.select(id_col, text_col).mapInPandas(
+        _minhash_arrow_fn(coeffs, text_col, id_col, shingle_k, with_sets=True),
+        "doc_id long, sig array<long>, sset array<string>",
     )
-    toks = tokenize_column(F.col(text_col))
-    sets = df.select(
-        F.col(id_col).alias("doc_id"),
-        word_shingles(toks, shingle_k).alias("sset"),
-    ).where(F.size("sset") > 0)
+    from pyspark import StorageLevel
+
+    base = base.persist(StorageLevel.MEMORY_AND_DISK)
+    buckets = lsh_bands(base.select("doc_id", "sig"), bands=bands, num_hashes=num_hashes)
+    pairs = _bucket_pairs(buckets, ["band", "band_key"], max_bucket_size)
+    sets = base.select("doc_id", "sset")
     # melt each pair to two (pair-key, doc) rows and join the shingle sets
     # ONCE: two per-side joins would run the tokenize→shingle lineage twice
     # and shuffle the set table twice (no ReusedExchange across different
@@ -619,6 +647,101 @@ def ngram_jaccard_pairs_minhash(
         )
         .where(F.col("jaccard") >= threshold)
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    *,
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Resolve near-duplicate PAIRS into clusters: ``(doc_id, component)``.
+
+    ``component`` is the minimum doc id reachable from ``doc_id`` through the
+    pair graph — a deterministic cluster label.  Only ids appearing in
+    ``pairs`` are returned (every other doc is its own singleton; callers
+    that need full coverage coalesce with the id).
+
+    Algorithm: iterative min-label propagation as pure DataFrame ops — each
+    round every node takes the min of its own label and its neighbors'
+    labels (one join keyed by edge source + one groupBy keyed by node, both
+    uniform unless one cluster IS the corpus), until a fixpoint.  Rounds
+    needed = graph diameter, which for near-duplicate graphs is tiny (dup
+    clusters are near-cliques: most pair generators emit a quadratic
+    candidate set within a bucket, so diameter ≈ 2-3; 10⁸-node chains would
+    instead want the O(log²) large-star/small-star contraction).  Each round
+    is localCheckpoint'ed: the label lineage would otherwise grow by two
+    shuffles per round and recompute from scratch on every action.
+    Convergence is detected by the label-sum fixpoint — labels only ever
+    decrease, so an unchanged sum means an unchanged labeling — which costs
+    one scalar agg per round instead of a self-join diff.
+    """
+    fwd = pairs.select(
+        F.col(a_col).cast("long").alias("src"), F.col(b_col).cast("long").alias("dst")
+    )
+    edges = fwd.union(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    from pyspark import StorageLevel
+
+    edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("component"))
+        .localCheckpoint()
+    )
+    prev_sum = labels.agg(F.sum("component")).collect()[0][0]
+    if prev_sum is None:  # no pairs at all
+        edges.unpersist()
+        return labels.select(F.col("id").alias("doc_id"), "component")
+    for _ in range(max_iterations):
+        msgs = edges.join(labels, edges["src"] == labels["id"]).select(
+            F.col("dst").alias("id"), "component"
+        )
+        labels = (
+            msgs.unionByName(labels)
+            .groupBy("id")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint()
+        )
+        s = labels.agg(F.sum("component")).collect()[0][0]
+        if s == prev_sum:
+            break
+        prev_sum = s
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} rounds"
+            " (graph diameter exceeds the cap — raise max_iterations or use a"
+            " star-contraction variant)"
+        )
+    edges.unpersist()
+    return labels.select(F.col("id").alias("doc_id"), "component")
+
+
+def dedup_fuzzy_keep_one(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    *,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+) -> DataFrame:
+    """Keep one row (the min id) per near-duplicate CLUSTER.
+
+    The fuzzy analog of ``dedup_exact``: resolve the pair graph to components,
+    then anti-join the non-keeper members (component members whose id is not
+    the component min) back onto the rows.  Docs absent from ``pairs`` are
+    untouched (their cluster is a singleton).  The anti-join side is one row
+    per duplicate — broadcast-able whenever the duplicate fraction is small,
+    and keyed by uniform ids otherwise.
+    """
+    comp = connected_components(pairs, a_col, b_col)
+    losers = comp.where(F.col("doc_id") != F.col("component")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    return df.join(losers, on=id_col, how="left_anti")
 
 
 def ngram_jaccard_pairs(

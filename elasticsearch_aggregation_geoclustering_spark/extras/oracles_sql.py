@@ -269,6 +269,44 @@ from bitsum group by doc_id
 """
 
 
+def connected_components_sql(pairs_sql: str) -> str:
+    """dedup.connected_components over the pair set produced by ``pairs_sql``
+    (any complete SELECT returning ``doc_a, doc_b``): ``(doc_id, component)``
+    where component = min reachable id.  The recursive walk enumerates every
+    (node, reachable-node) pair — fine at oracle scale, which is the point of
+    the independent implementation (the Spark side converges by propagation,
+    never materializing reachability)."""
+    return f"""
+with recursive pairs as ({pairs_sql}),
+edges as (
+  select doc_a as a, doc_b as b from pairs
+  union
+  select doc_b as a, doc_a as b from pairs
+),
+nodes as (select distinct a as id from edges),
+walk(id, front) as (
+  select id, id from nodes
+  union
+  select w.id, e.b from walk w join edges e on e.a = w.front
+)
+select id as doc_id, min(front)::BIGINT as component from walk group by id
+"""
+
+
+def fuzzy_keep_one_sql(
+    pairs_sql: str, table: str = "documents", id_col: str = "doc_id"
+) -> str:
+    """dedup.dedup_fuzzy_keep_one: drop every cluster member except the min
+    id; rows absent from the pair graph are kept (singleton clusters)."""
+    comp = connected_components_sql(pairs_sql)
+    return f"""
+select {id_col} as doc_id from {table}
+where {id_col} not in (
+  select doc_id from ({comp}) where doc_id != component
+)
+"""
+
+
 def bm25_scores_cte(
     table: str = "documents",
     id_col: str = "doc_id",
@@ -417,21 +455,32 @@ def rp_band_near_pairs_sql(
     table: str = "embeddings",
     id_col: str = "vec_id",
     vec: str = "embedding",
+    max_bucket_size: int | None = 1000,
 ) -> str:
-    """similarity.rp_band_near_pairs: banded signature equi-join candidates,
-    exact cosine verify."""
+    """similarity.rp_band_near_pairs: banded signature equi-join candidates
+    (buckets over ``max_bucket_size`` dropped before pairing, like the Spark
+    window-count cap), exact cosine verify."""
     width = n_planes // bands
     mask = (1 << width) - 1
     cos = cosine_sql("a." + vec, "b." + vec)
+    cap_ctes, chunks_src = "", "chunks"
+    if max_bucket_size is not None:
+        cap_ctes = f""",
+chunks_ok as (
+  select band, bits from chunks group by band, bits
+  having count(*) <= {max_bucket_size}
+),
+chunks_f as (select c.* from chunks c join chunks_ok using (band, bits))"""
+        chunks_src = "chunks_f"
     return f"""
 with {rp_sig_ctes(planes, table, id_col, vec)},
 chunks as (
   select vec_id, j as band, (sig >> (j * {width})) & {mask} as bits
   from sigs cross join (select unnest(range(0, {bands})) as j) bj
-),
+){cap_ctes},
 cand as (
   select distinct l.vec_id as id_a, r.vec_id as id_b
-  from chunks l join chunks r
+  from {chunks_src} l join {chunks_src} r
     on l.band = r.band and l.bits = r.bits and l.vec_id < r.vec_id
 ),
 scored as (
@@ -450,20 +499,32 @@ def simhash_near_pairs_sql(
     *,
     max_hamming: int = 3,
     bands: int = 5,
+    max_bucket_size: int | None = 1000,
 ) -> str:
-    """dedup.simhash_near_pairs: pigeonhole banding over the 60-bit simhash."""
+    """dedup.simhash_near_pairs: pigeonhole banding over the 60-bit simhash
+    (chunk buckets over ``max_bucket_size`` dropped before pairing, like the
+    Spark window-count cap)."""
     width = dedup.SIMHASH_BITS // bands
     mask = (1 << width) - 1
+    cap_ctes, chunks_src = "", "chunks"
+    if max_bucket_size is not None:
+        cap_ctes = f""",
+chunks_ok as (
+  select chunk, val from chunks group by chunk, val
+  having count(*) <= {max_bucket_size}
+),
+chunks_f as (select c.* from chunks c join chunks_ok using (chunk, val))"""
+        chunks_src = "chunks_f"
     return f"""
 with sh as ({simhash_sql(table, id_col, text)}),
 chunks as (
   select doc_id, simhash, j as chunk, (simhash >> (j * {width})) & {mask} as val
   from sh cross join (select unnest(range(0, {bands})) as j) bj
-),
+){cap_ctes},
 cand as (
   select distinct l.doc_id as doc_a, r.doc_id as doc_b,
          bit_count(xor(l.simhash, r.simhash))::BIGINT as hamming
-  from chunks l join chunks r
+  from {chunks_src} l join {chunks_src} r
     on l.chunk = r.chunk and l.val = r.val and l.doc_id < r.doc_id
 )
 select doc_a, doc_b, hamming from cand where hamming <= {max_hamming}

@@ -156,18 +156,29 @@ def rp_band_near_pairs(
     vec_col: str,
     *,
     threshold: float = 0.95,
-    n_planes: int = 16,
-    bands: int = 4,
+    n_planes: int = 128,
+    bands: int = 8,
     seed: int = 42,
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
-    """Embedding near-duplicate pairs via banded RP-LSH blocking (scale path).
+    """Embedding near-duplicate pairs via banded RP-LSH blocking.
 
     Candidate pairs are those agreeing exactly on ≥1 signature band (an
     equi-join on ``(band, band_bits)`` — never a cross join); candidates are
-    then scored with the exact cosine and filtered by ``threshold``.  This is
-    the 100 TB shape of ``cosine_near_pairs``: shuffle keys are uniform sign
-    bits, pair generation is bounded by bucket co-membership, and recall is
-    tunable via bands/planes (more bands → higher recall, more candidates).
+    then scored with the exact cosine and filtered by ``threshold``.
+
+    Scale contract (what actually bounds the blow-up — the band equi-join
+    alone does NOT): per-band buckets are capped at ``max_bucket_size``
+    members (window count BEFORE the pair explosion, like
+    ``dedup.minhash_lsh_pairs``), so a degenerate bucket — a mass-duplicate
+    embedding cluster, or band keys too narrow for the corpus — is dropped
+    rather than exploded quadratically.  The defaults (128 planes × 8 bands =
+    16-bit band keys, 65 536 values/band) keep uncorrelated buckets ~N/65 536;
+    narrow test parameterizations (e.g. 16 planes × 4 bands = 16 values/band)
+    are recall-complete at small N but rely ENTIRELY on the cap at scale —
+    never ship them uncapped.  Recall is tunable via bands/planes (more bands
+    → higher recall, more candidates); dropped-bucket members simply produce
+    no candidates, the standard LSH candidate-then-verify contract.
 
     Signature bits use a FIXED plane set per (dim, n_planes, seed), so the
     DuckDB oracle reproduces the exact candidate set from the same constants.
@@ -175,7 +186,8 @@ def rp_band_near_pairs(
     if n_planes % bands:
         raise ValueError("n_planes must divide evenly into bands")
     width = n_planes // bands
-    mask = (1 << width) - 1
+    if width > 62:
+        raise ValueError("band width must fit a long: n_planes/bands <= 62")
     first = df.select(vec_col).first()
     if first is None:  # empty input -> empty, well-typed pair frame
         return df.sparkSession.createDataFrame(
@@ -184,31 +196,34 @@ def rp_band_near_pairs(
     dim = len(first[0])
     planes = rp_planes(dim, n_planes, seed)
     # band rows carry ONLY (vid, band, bits): the candidate join never
-    # shuffles a vector; vectors rejoin by uniform id after pair dedup
+    # shuffles a vector; vectors rejoin by uniform id after pair dedup.
+    # Band keys are computed per band inside the UDF (reshape + per-band bit
+    # weights) so n_planes may exceed 64 — for n_planes ≤ 63 the values are
+    # identical to extracting ``(sig >> band*width) & mask`` from the packed
+    # signature, which is what the SQL oracle does.
+    from pyspark.sql.types import ArrayType
+
+    planes_t = planes.T.copy()
+    band_weights = (1 << np.arange(width, dtype=np.int64))
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _band_keys(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype=object)
+        mat = np.array(vs.tolist(), dtype=np.float64)
+        bits = ((mat @ planes_t) > 0).astype(np.int64)  # (n, n_planes)
+        keys = bits.reshape(len(mat), bands, width) @ band_weights  # (n, bands)
+        return pd.Series(list(keys))
+
     from .dedup import _bucket_pairs
 
     sigrows = df.select(
         F.col(id_col).alias("doc_id"),
-        rp_signature_column(F.col(vec_col), planes).alias("_sig"),
-    ).select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        F.shiftright(F.col("_sig"), i * width)
-                        .bitwiseAND(F.lit(mask))
-                        .alias("bits"),
-                    )
-                    for i in range(bands)
-                ]
-            )
-        ).alias("c"),
-    ).select("doc_id", F.col("c.band").alias("band"), F.col("c.bits").alias("bits"))
+        F.posexplode(_band_keys(F.col(vec_col))).alias("band", "bits"),
+    )
     # groupBy + in-bucket explosion: the signature UDF lineage runs once (a
     # self-join would recompute it per join side)
-    cand = _bucket_pairs(sigrows, ["band", "bits"], max_bucket_size=None).select(
+    cand = _bucket_pairs(sigrows, ["band", "bits"], max_bucket_size).select(
         F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b")
     )
     vecs = df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))

@@ -52,15 +52,29 @@ def _spread_bits_expr(x: Column) -> Column:
     return x
 
 
-def cell_expr(lon: Column, lat: Column, precision: int) -> Column:
+def cell_expr(lon: Column, lat: Column, precision: int, *, validate: bool = True) -> Column:
     """``Geohash.longEncode(lon, lat, precision)`` as a codegen-able Column.
 
     Bit-identical to geo.geohash.long_encode for precision 1..11.
+
+    With ``validate`` (default) an out-of-range or NaN coordinate raises at
+    execution time instead of silently producing an undefined cell key — the
+    same failure mode as the Arrow/numpy path at precision 12, and the loud
+    analog of the range check ES's geo_point mapper applies at index time.
+    A NULL coordinate yields a NULL key (an absent value, not an invalid
+    one — the reference skips docs with no value, and the raw expression
+    would otherwise silently encode NULL as the +edge cell because Spark's
+    ``least`` SKIPS nulls).  The guard is a codegen'd CASE branch — set
+    ``validate=False`` only when the input is already range-checked and
+    null-free upstream and the branch shows up in a profile; the unvalidated
+    expression maps NULL to the +edge cell and out-of-range to undefined
+    keys.
     """
     if not 1 <= precision <= 11:
         raise ValueError(f"cell_expr supports precision 1..11: {precision}")
-    lat_e = _encode_axis_expr(lat, LATITUDE_DECODE, _LAT_MAX)
-    lon_e = _encode_axis_expr(lon, LONGITUDE_DECODE, _LON_MAX)
+    lon_d, lat_d = lon.cast("double"), lat.cast("double")
+    lat_e = _encode_axis_expr(lat_d, LATITUDE_DECODE, _LAT_MAX)
+    lon_e = _encode_axis_expr(lon_d, LONGITUDE_DECODE, _LON_MAX)
     # morton: lat on even bits, lon on odd — lon<<1 may set bit 63 (negative
     # long, correct bit pattern); the unsigned shift right restores a
     # non-negative key for precision <= 11 (shift >= 9)
@@ -68,6 +82,27 @@ def cell_expr(lon: Column, lat: Column, precision: int) -> Column:
         F.shiftleft(_spread_bits_expr(lon_e), 1)
     )
     shift = 4 + 5 * (12 - precision)
-    return F.shiftleft(F.shiftrightunsigned(morton, shift), 4).bitwiseOR(
+    key = F.shiftleft(F.shiftrightunsigned(morton, shift), 4).bitwiseOR(
         F.lit(precision)
     ).cast("long")
+    if not validate:
+        return key
+    absent = lon_d.isNull() | lat_d.isNull()
+    bad = (
+        (lon_d < F.lit(-180.0)) | (lon_d > F.lit(180.0))
+        | (lat_d < F.lit(-90.0)) | (lat_d > F.lit(90.0))
+        | F.isnan(lon_d) | F.isnan(lat_d)
+    )
+    err = F.raise_error(
+        F.concat(
+            F.lit("geo coordinate out of range: lon="),
+            lon_d.cast("string"),
+            F.lit(" lat="),
+            lat_d.cast("string"),
+        )
+    )
+    return (
+        F.when(absent, F.lit(None).cast("long"))
+        .when(bad, err.cast("long"))
+        .otherwise(key)
+    )

@@ -171,8 +171,13 @@ def explode_multi_points(
     enc = cell_column(F.col("lon"), F.col("lat"), MAX_PRECISION_LEVEL).alias("_enc")
     cell = cell_column(F.col("lon"), F.col("lat"), precision).alias("_cell")
     with_keys = base.select("_doc", "lon", "lat", enc, cell)
+    # ordering key carries (lon, lat) tiebreakers: two DISTINCT raw points can
+    # share a level-12 encoding (~3.7 cm cells), and a bare min_by would then
+    # pick either one nondeterministically across retries/engines
     first = with_keys.groupBy("_doc", "_cell").agg(
-        F.min_by(F.struct("lon", "lat"), F.col("_enc")).alias("_p")
+        F.min_by(
+            F.struct("lon", "lat"), F.struct(F.col("_enc"), F.col("lon"), F.col("lat"))
+        ).alias("_p")
     )
     return first.select(
         F.col("_doc").alias(doc_col),
@@ -229,7 +234,8 @@ def _cell_aggregate(
         F.col(lon_col).cast("double").alias("_lon"),
         *([F.col(shard_col).alias("_shard")] if shard_col else []),
         *[spec.expr.alias(f"_m_{name}") for name, spec in specs.items()],
-    )
+    ).where(F.col("cell").isNotNull())  # NULL coords = absent values: skipped,
+    # as the reference's doc_values iterator does for docs without the field
     metric_aggs = [
         spec.agg_fn(F.col(f"_m_{name}")).alias(name) for name, spec in specs.items()
     ]

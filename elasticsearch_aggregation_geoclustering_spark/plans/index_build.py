@@ -629,34 +629,72 @@ def append_index(
     bexpr = _bucket_column(key_cols, bounds, dict(docs.dtypes))
     ks = _key_struct(key_cols)
     count_rows = (
-        docs.select(bexpr.alias("_b"), ks.alias("_k"))
+        docs.select(
+            bexpr.alias("_b"),
+            ks.alias("_k"),
+            F.xxhash64(*[F.col(c) for c in key_cols]).alias("_kh"),
+        )
         .groupBy("_b")
-        .agg(F.count(F.lit(1)).alias("cnt"), F.min("_k").alias("kmin"), F.max("_k").alias("kmax"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min("_k").alias("kmin"),
+            F.max("_k").alias("kmax"),
+            # order-insensitive 64-bit fold of every key in the bucket: the
+            # same key-only scan (content still pruned), but the ledger match
+            # now distinguishes batches that agree on (n, min, max) while
+            # differing in interior keys.  Content is deliberately NOT folded
+            # in — that would force a second full content read per append;
+            # same-key-different-content is a violation of the keys-globally-
+            # unique contract and is surfaced by the replay warning below.
+            F.bit_xor(F.col("_kh")).alias("kxor"),
+        )
         .collect()
     )
     if not count_rows:  # hint said rows exist but the batch is actually empty
         return load_stats(index_dir)
     counts = {r["_b"]: r["cnt"] for r in count_rows}
     n_new = sum(counts.values())
+    key_xor = 0
+    for r in count_rows:
+        key_xor ^= int(r["kxor"])
     batch_fp = {
         "n_docs": int(n_new),
         "min_key": list(min(tuple(r["kmin"]) for r in count_rows)),
         "max_key": list(max(tuple(r["kmax"]) for r in count_rows)),
+        "key_xor": key_xor,
     }
 
     # the ledger makes resumes/replays id-stable: a killed or re-delivered
     # batch MUST NOT recompute base_sid from the segments it already half
     # wrote (that would shift every remaining doc's id and duplicate docs).
-    # Keys are globally unique by contract, so an identical (n, min, max)
-    # fingerprint identifies the same batch.
+    # Keys are globally unique by contract, so an identical (n, min, max,
+    # key_xor) fingerprint identifies the same batch.
     existing = manifest.completed_segment_ids() | {
         int(k) for k in seg_store.load_manifest_parts(index_dir)
     }
+    _legacy = ("n_docs", "min_key", "max_key")
     prior = next(
-        (e for e in manifest.appends if all(e[k] == batch_fp[k] for k in batch_fp)),
+        (e for e in manifest.appends if all(e[k] == batch_fp[k] for k in _legacy)),
         None,
     )
     if prior is not None:
+        if "key_xor" in prior and prior["key_xor"] != batch_fp["key_xor"]:
+            raise ValueError(
+                "append batch matches a prior ledger entry on (n_docs, min_key,"
+                f" max_key) but not on key_xor ({prior['key_xor']} != "
+                f"{batch_fp['key_xor']}): a different batch is reusing a prior"
+                " fingerprint — the keys-globally-unique contract is violated"
+            )
+        prior.setdefault("key_xor", batch_fp["key_xor"])  # backfill old ledgers
+        import warnings
+
+        warnings.warn(
+            f"append_index: batch fingerprint {batch_fp['n_docs']} docs / "
+            f"key_xor={batch_fp['key_xor']} matches ledger entry base_sid="
+            f"{prior['base_sid']} — treating as a resume/replay of that batch"
+            " (already-built segments will be skipped)",
+            stacklevel=2,
+        )
         base_sid = int(prior["base_sid"])
     else:
         base_sid = max((max(existing) + 1) if existing else 0, manifest.num_segments_expected)

@@ -233,7 +233,16 @@ def bm25_search_docs(
 
     spark = docs.sparkSession
     terms = sorted(set(terms))
-    result_schema = "doc_id long, score double"
+    # preserve the caller's id type (the signature admits any id column, not
+    # just the long docIDs the inverted index mints)
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    result_schema = StructType(
+        [
+            StructField("doc_id", docs.schema[id_col].dataType),
+            StructField("score", DoubleType()),
+        ]
+    )
     if not terms:
         return spark.createDataFrame([], result_schema)
 
@@ -289,4 +298,6 @@ def bm25_search_docs(
         )
     finally:
         per_doc.unpersist()
-    return spark.createDataFrame([(r["doc_id"], r["score"]) for r in rows], result_schema)
+    return spark.createDataFrame(
+        [(r["doc_id"], r["score"]) for r in rows], result_schema
+    )
