@@ -47,6 +47,7 @@ from elasticsearch_aggregation_geoclustering_spark.plans.query import InvertedIn
 
 TERMS_OR = ["spark", "window", "merge"]
 TERMS_AND = ["table", "value", "customer"]
+PHRASE = ["table", "value"]
 TOPK = 50
 ANN_K = 20
 NEAR_DUP_COS = 0.4
@@ -101,7 +102,9 @@ def _index_for(spark: SparkSession, sf_dir: str) -> InvertedIndex:
     """Build (once, resumable) and open the inverted index for an sf dir."""
     fp = _source_fingerprint(os.path.join(sf_dir, "documents.parquet"))
     key = hashlib.md5(
-        f"{os.path.realpath(sf_dir)}|{DOCS_PER_SEGMENT}|{fp}".encode()
+        # "pos1" = positional-postings layout marker: bumping it invalidates
+        # caches built before the segment schema gained pos_vb
+        f"{os.path.realpath(sf_dir)}|{DOCS_PER_SEGMENT}|{fp}|pos1".encode()
     ).hexdigest()[:16]
     index_dir = os.path.join(_CACHE_ROOT, key)
     if not os.path.exists(os.path.join(index_dir, "stats.json")):
@@ -347,6 +350,22 @@ def _q_bm25_direct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk.select("doc_id", F.round("score", 5).alias("score"))
 
 
+def _q_phrase_match_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact match_phrase hit count off the positional postings (pos_vb)."""
+    n = _index_for(spark, sf_dir).phrase_match_count(PHRASE)
+    return spark.createDataFrame([(n,)], "hits long")
+
+
+def _q_phrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25-scored exact phrase top-k (Lucene PhraseQuery semantics)."""
+    index = _index_for(spark, sf_dir)
+    topk = index.phrase_search(PHRASE, k=TOPK)
+    ids = index.docmap().select("doc_id", "orig_id")
+    return topk.join(ids, on="doc_id").select(
+        F.col("orig_id").alias("doc_id"), F.round("score", 5).alias("score")
+    )
+
+
 def _q_match_count_or(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _index_for(spark, sf_dir).match_count(TERMS_OR, mode="OR")
     return spark.createDataFrame([(n,)], "hits long")
@@ -566,6 +585,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_direct_topk": _q_bm25_direct,
         "match_count_or": _q_match_count_or,
         "match_count_and": _q_match_count_and,
+        "phrase_match_count": _q_phrase_match_count,
+        "phrase_topk": _q_phrase_topk,
         "term_df": _q_term_df,
         "index_stats": _q_index_stats,
         "docmap_sha256": _q_docmap_sha256,
@@ -835,6 +856,15 @@ where lon >= {BBOX['lon_min']} and lon <= {BBOX['lon_max']}
         "bm25_direct_topk": _bm25_sql(TERMS_OR, "OR"),
         "match_count_or": _match_count_sql(TERMS_OR, "OR"),
         "match_count_and": _match_count_sql(TERMS_AND, "AND"),
+        "phrase_match_count": (
+            f"with {osql.phrase_scores_cte(phrase=PHRASE)}\n"
+            "select count(*)::BIGINT as hits from pdocs"
+        ),
+        "phrase_topk": (
+            f"with {osql.phrase_scores_cte(phrase=PHRASE)}\n"
+            "select doc_id, round(score, 5) as score from scored\n"
+            f"order by scored.score desc, doc_id asc limit {TOPK}"
+        ),
         "term_df": f"""
 with toks as (select doc_id, unnest({toks}) as term from documents)
 select term, count(distinct doc_id)::BIGINT as df

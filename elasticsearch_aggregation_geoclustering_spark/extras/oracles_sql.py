@@ -349,6 +349,70 @@ scored as (
 )"""
 
 
+def phrase_scores_cte(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text: str = "text",
+    *,
+    phrase: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> str:
+    """CTE chain for an exact match_phrase query, exposing
+    ``scored(doc_id, score)`` and ``pdocs(doc_id, ptf)``.
+
+    Mirrors InvertedIndex.phrase_search: a phrase occurrence starts at
+    position p iff every (term, offset) of the phrase is present at p+offset
+    (count of DISTINCT offsets = phrase length, so repeated terms must fill
+    every one of their offsets); score = idf_sum · ptf/(ptf + k1·norm) with
+    idf summed per phrase POSITION (Lucene PhraseQuery passes one
+    TermStatistics per position to BM25Similarity).
+    """
+    toks = tokens_sql(text)
+    k = len(phrase)
+    offs_values = ", ".join(
+        f"('{t.replace(chr(39), chr(39) * 2)}', {i})" for i, t in enumerate(phrase)
+    )
+    term_list = ", ".join(
+        "'" + t.replace("'", "''") + "'" for t in sorted(set(phrase))
+    )
+    return f"""
+t as (select {id_col} as doc_id, {toks} as toks from {table}),
+pos as (
+  select doc_id, i - 1 as pos, toks[i] as term
+  from t, unnest(range(1, len(toks) + 1)) as r(i)
+),
+offs as (select * from (values {offs_values}) as o(term, off)),
+starts as (
+  select p.doc_id, p.pos - o.off as start
+  from pos p join offs o using (term)
+  where p.pos - o.off >= 0
+  group by p.doc_id, p.pos - o.off
+  having count(distinct o.off) = {k}
+),
+pdocs as (select doc_id, count(*)::BIGINT as ptf from starts group by doc_id),
+dl as (select doc_id, len(toks)::BIGINT as dl from t),
+stats as (
+  select (select count(*) from {table})::BIGINT as n,
+         (select count(*) from pos)::DOUBLE / (select count(*) from {table}) as avgdl
+),
+dfreq as (
+  select term, count(distinct doc_id)::BIGINT as df from pos
+  where term in ({term_list}) group by term
+),
+idf as (
+  select sum(ln(1.0 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))) as s
+  from offs join dfreq using (term) cross join stats
+),
+scored as (
+  select pdocs.doc_id,
+         idf.s * (pdocs.ptf::DOUBLE
+           / (pdocs.ptf::DOUBLE + {k1} * (1.0 - {b} + {b} * dl.dl::DOUBLE / stats.avgdl)))
+           as score
+  from pdocs join dl using (doc_id) cross join stats cross join idf
+)"""
+
+
 def lang_id_sql(table: str = "documents", id_col: str = "doc_id", text: str = "text") -> str:
     toks = tokens_sql(text)
     langs = sorted(LANG_STOPWORDS)

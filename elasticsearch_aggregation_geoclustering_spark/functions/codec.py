@@ -112,6 +112,21 @@ def segmented_delta_encode(values: np.ndarray, run_starts: np.ndarray) -> np.nda
     return out
 
 
+def segmented_delta_decode(deltas: np.ndarray, run_starts: np.ndarray) -> np.ndarray:
+    """Inverse of segmented_delta_encode: per-run prefix sums in one pass.
+
+    One global cumsum, then each run subtracts the prefix accumulated before
+    it — no per-run Python loop.
+    """
+    d = np.asarray(deltas, dtype=np.uint64)
+    if d.size == 0:
+        return d
+    c = np.cumsum(d, dtype=np.uint64)
+    base = c[run_starts] - d[run_starts]  # cumsum just before each run start
+    run_lens = np.diff(np.append(run_starts, d.size))
+    return c - np.repeat(base, run_lens)
+
+
 def segmented_varbyte_binary(values: np.ndarray, run_starts: np.ndarray, total: int):
     """Encode concatenated runs to a pyarrow BinaryArray, one cell per run.
 

@@ -50,24 +50,51 @@ def doc_term_frequencies(texts: pd.Series) -> pd.DataFrame:
     index into ``texts``; plus doc length is ``groupby(row).tf.sum()``.
     All pandas/numpy column ops — no per-row Python loop.
     """
+    frame, _ = doc_term_positions(texts)
+    return frame
+
+
+def doc_term_positions(texts: pd.Series) -> tuple[pd.DataFrame, np.ndarray]:
+    """Term frequencies PLUS token positions for a batch of texts.
+
+    Returns ``(frame, pos_flat)``: ``frame`` is the ``(row, term, tf)``
+    DataFrame of doc_term_frequencies, and ``pos_flat`` the 0-based token
+    positions of every occurrence, concatenated in frame order — the
+    positions of frame row i are ``pos_flat[cum_tf[i-1]:cum_tf[i]]``,
+    ascending within each (row, term).  Same vectorized factorize/unique
+    pass as before; positions cost one extra arange-difference.
+    """
+    empty = pd.DataFrame(
+        {"row": np.empty(0, np.int64), "term": [], "tf": np.empty(0, np.int64)}
+    )
     tokens = tokenize_pandas(texts.reset_index(drop=True))
     exploded = tokens.explode().dropna()
     if exploded.empty:
-        return pd.DataFrame({"row": np.empty(0, np.int64), "term": [], "tf": np.empty(0, np.int64)})
+        return empty, np.empty(0, np.int64)
     rows = exploded.index.to_numpy(np.int64)
-    # factorize(sort=True) + packed-key bincount ≈ 5-10x faster than an
+    # token position within its doc: explode preserves per-row order, so the
+    # position is the global index minus the row's first global index
+    idx = np.arange(rows.size, dtype=np.int64)
+    row_change = np.flatnonzero(np.concatenate(([True], rows[1:] != rows[:-1])))
+    row_lens = np.diff(np.append(row_change, rows.size))
+    pos = idx - np.repeat(idx[row_change], row_lens)
+    # factorize(sort=True) + packed-key unique ≈ 5-10x faster than an
     # object-dtype groupby; output order (row asc, term asc) is identical
     codes, uniques = pd.factorize(exploded.to_numpy(), sort=True)
     n_terms = len(uniques)
     pair = rows * np.int64(n_terms) + codes
     uk, tf = np.unique(pair, return_counts=True)
-    return pd.DataFrame(
+    # stable sort by pair groups occurrences in frame order with positions
+    # ascending inside each (row, term) run
+    order = np.argsort(pair, kind="stable")
+    frame = pd.DataFrame(
         {
             "row": uk // n_terms,
             "term": uniques[uk % n_terms],
             "tf": tf.astype(np.int64),
         }
     )
+    return frame, pos[order]
 
 
 def pack_term_frequencies(texts: pd.Series) -> pd.DataFrame:
@@ -77,61 +104,89 @@ def pack_term_frequencies(texts: pd.Series) -> pd.DataFrame:
 
         terms_blob : str    space-joined sorted-unique tokens ("" if none)
         tfs_vb     : bytes  LEB128 varbyte of the aligned tf counts
+        pos_vb     : bytes  LEB128 varbyte of token positions, delta-encoded
+                            per (doc, term) run, runs in terms_blob order
         n_terms    : int64  number of distinct terms
 
     This is what the index build ships through its shuffle instead of raw
-    content: repeated tokens collapse to (term, count) before any wire, and
-    the flat encoding avoids per-token Python objects on both the Arrow
-    serialize and deserialize sides (a list<string> column would materialize
-    every token as a Python object twice).  Tokens match ``[a-z0-9_]+`` so a
-    single space is an unambiguous separator.
+    content: repeated tokens collapse to (term, count, positions) before any
+    wire, and the flat encoding avoids per-token Python objects on both the
+    Arrow serialize and deserialize sides (a list<string> column would
+    materialize every token as a Python object twice).  Tokens match
+    ``[a-z0-9_]+`` so a single space is an unambiguous separator.
     """
     from . import codec
 
-    tf = doc_term_frequencies(texts)
+    tf, pos_flat = doc_term_positions(texts)
     n = len(texts)
     nt = np.zeros(n, dtype=np.int64)
     if tf.empty:
         return pd.DataFrame(
-            {"terms_blob": [""] * n, "tfs_vb": [b""] * n, "n_terms": nt}
+            {"terms_blob": [""] * n, "tfs_vb": [b""] * n, "pos_vb": [b""] * n, "n_terms": nt}
         )
     rows = tf["row"].to_numpy(np.int64)
+    tf_vals = tf["tf"].to_numpy(np.int64)
     nt = np.bincount(rows, minlength=n).astype(np.int64)
     bounds = np.cumsum(nt)[:-1]
     chunks = np.split(tf["term"].to_numpy(), bounds)
     blobs = [" ".join(c) for c in chunks]  # one join per doc, not per token
-    buf, ends = codec.varbyte_encode_all(tf["tf"].to_numpy(np.uint64))
-    cum = np.cumsum(nt)
-    byte_ends = np.where(cum > 0, ends[np.maximum(cum - 1, 0)], 0)
-    byte_starts = np.concatenate(([0], byte_ends[:-1]))
-    tfs_vb = [buf[s:e].tobytes() for s, e in zip(byte_starts, byte_ends)]
-    return pd.DataFrame({"terms_blob": blobs, "tfs_vb": tfs_vb, "n_terms": nt})
+
+    def _slice_per_doc(buf: np.ndarray, ends: np.ndarray, counts: np.ndarray) -> list[bytes]:
+        """Slice one encoded stream into per-doc bytes by value counts."""
+        cum = np.cumsum(counts)
+        byte_ends = np.where(cum > 0, ends[np.maximum(cum - 1, 0)], 0)
+        byte_starts = np.concatenate(([0], byte_ends[:-1]))
+        return [buf[s:e].tobytes() for s, e in zip(byte_starts, byte_ends)]
+
+    buf, ends = codec.varbyte_encode_all(tf_vals.astype(np.uint64))
+    tfs_vb = _slice_per_doc(buf, ends, nt)
+    # positions: delta restart per (doc, term) run; per-doc value count = dl
+    pair_starts = np.concatenate(([0], np.cumsum(tf_vals)[:-1]))
+    pdeltas = codec.segmented_delta_encode(pos_flat.astype(np.uint64), pair_starts)
+    dl = np.bincount(rows, weights=tf_vals, minlength=n).astype(np.int64)
+    pbuf, pends = codec.varbyte_encode_all(pdeltas)
+    pos_vb = _slice_per_doc(pbuf, pends, dl)
+    return pd.DataFrame(
+        {"terms_blob": blobs, "tfs_vb": tfs_vb, "pos_vb": pos_vb, "n_terms": nt}
+    )
 
 
 def packed_term_frequencies(
-    blobs: pd.Series, tfs_vb: pd.Series, n_terms: pd.Series
-) -> pd.DataFrame:
+    blobs: pd.Series,
+    tfs_vb: pd.Series,
+    n_terms: pd.Series,
+    pos_vb: pd.Series | None = None,
+) -> pd.DataFrame | tuple[pd.DataFrame, np.ndarray]:
     """Rebuild the (row, term, tf) frame from the flat packed columns.
 
     Inverse of ``pack_term_frequencies`` — same output shape and ordering as
     ``doc_term_frequencies`` (row asc, term asc within row), so the segment
     builder is agnostic to whether it got raw text or packed rows.  One
     string split and one varbyte decode per batch — no per-token Python.
+    With ``pos_vb`` also returns the absolute flat positions array, aligned
+    exactly like ``doc_term_positions``.
     """
     from . import codec
 
     nt = n_terms.to_numpy(np.int64)
     total = int(nt.sum())
     if total == 0:
-        return pd.DataFrame(
+        empty = pd.DataFrame(
             {"row": np.empty(0, np.int64), "term": [], "tf": np.empty(0, np.int64)}
         )
+        return empty if pos_vb is None else (empty, np.empty(0, np.int64))
     nonempty = nt > 0
     joined = " ".join(blobs.to_numpy()[nonempty])
     term_flat = np.array(joined.split(" "), dtype=object)
     rows = np.repeat(np.arange(len(nt), dtype=np.int64), nt)
     tf_flat = codec.varbyte_decode(b"".join(tfs_vb)).astype(np.int64)
-    return pd.DataFrame({"row": rows, "term": term_flat, "tf": tf_flat})
+    frame = pd.DataFrame({"row": rows, "term": term_flat, "tf": tf_flat})
+    if pos_vb is None:
+        return frame
+    pdeltas = codec.varbyte_decode(b"".join(pos_vb))
+    pair_starts = np.concatenate(([0], np.cumsum(tf_flat)[:-1]))
+    pos_flat = codec.segmented_delta_decode(pdeltas, pair_starts).astype(np.int64)
+    return frame, pos_flat
 
 
 def tokenize_python(text: str) -> list[str]:

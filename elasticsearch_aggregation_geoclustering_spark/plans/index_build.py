@@ -20,10 +20,11 @@ never persisted — everything global rides key-only column-pruned jobs:
    stage per doc — fastest when Python CPU is the bottleneck, e.g. local
    shuffle through the page cache); with ``pack_before_shuffle=True`` a
    map-side ``mapInPandas`` collapses each doc to flat packed rows
-   (space-joined sorted-unique terms blob + varbyte tf bytes + sha256) and
-   DROPS the raw content before the shuffle — the right trade when the
-   shuffle crosses a real network and content bytes dominate the wire.
-   Segment bytes are identical in both modes (tested).
+   (space-joined sorted-unique terms blob + varbyte tf bytes + varbyte
+   position deltas + sha256) and DROPS the raw content before the shuffle —
+   the right trade when the shuffle crosses a real network and content
+   bytes dominate the wire.  Segment bytes are identical in both modes
+   (tested).
 3. **segmenting** — ``seg_id = doc_id // docs_per_segment``: contiguous,
    disjoint docID ranges, the analog of Lucene segments.  Segments partition
    by DOCUMENT, not by term, so Zipf-hot terms ("the", "import") cannot
@@ -66,7 +67,7 @@ from pyspark.sql import functions as F
 from ..functions import codec
 from ..functions.tokenizer import (
     TOKENIZER_VERSION,
-    doc_term_frequencies,
+    doc_term_positions,
     pack_term_frequencies,
     packed_term_frequencies,
 )
@@ -222,7 +223,9 @@ def _pack_fn(content_col: str, passthrough: list[str]):
                 continue
             packed = pack_term_frequencies(pdf[content_col])
             out = pdf[passthrough].reset_index(drop=True)
-            out[["terms_blob", "tfs_vb", "n_terms"]] = packed
+            out[["terms_blob", "tfs_vb", "pos_vb", "n_terms"]] = packed[
+                ["terms_blob", "tfs_vb", "pos_vb", "n_terms"]
+            ]
             yield out
 
     return run
@@ -249,9 +252,11 @@ def _build_one_segment(
     doc_ids = pdf["doc_id"].to_numpy(np.int64)
 
     if "terms_blob" in pdf.columns:
-        tf_frame = packed_term_frequencies(pdf["terms_blob"], pdf["tfs_vb"], pdf["n_terms"])
+        tf_frame, pos_flat = packed_term_frequencies(
+            pdf["terms_blob"], pdf["tfs_vb"], pdf["n_terms"], pdf["pos_vb"]
+        )
     else:
-        tf_frame = doc_term_frequencies(pdf[content_col])
+        tf_frame, pos_flat = doc_term_positions(pdf[content_col])
     dl_by_row = np.zeros(len(pdf), dtype=np.int64)
     if not tf_frame.empty:
         np.add.at(dl_by_row, tf_frame["row"].to_numpy(np.int64), tf_frame["tf"].to_numpy(np.int64))
@@ -264,10 +269,15 @@ def _build_one_segment(
         ids_all = np.empty(0, dtype=np.int64)
         tf_vals = np.empty(0, dtype=np.int64)
         dls_all = np.empty(0, dtype=np.int64)
+        pos_sorted = np.empty(0, dtype=np.int64)
+        pos_starts = np.empty(0, dtype=np.int64)
+        pair_pos_starts = np.empty(0, dtype=np.int64)
     else:
         # postings order: (term asc, doc_id asc); rows within a term are
         # already doc-ordered because packed_term_frequencies emits row-major
-        term_sorted = tf_frame.sort_values(["term", "row"], kind="stable").reset_index(drop=True)
+        term_sorted = tf_frame.sort_values(["term", "row"], kind="stable")
+        perm = term_sorted.index.to_numpy(np.int64)  # frame-order -> postings-order
+        term_sorted = term_sorted.reset_index(drop=True)
         terms_arr = term_sorted["term"].to_numpy()
         starts = np.flatnonzero(
             np.concatenate(([True], terms_arr[1:] != terms_arr[:-1]))
@@ -279,9 +289,24 @@ def _build_one_segment(
         tf_vals = term_sorted["tf"].to_numpy(np.int64)
         ids_all = doc_ids[row_idx]
         dls_all = dl_by_row[row_idx]
+        # permute the flat positions into postings order: gather each pair's
+        # position run via one repeat+arange fancy index (no per-pair loop)
+        lens_orig = tf_frame["tf"].to_numpy(np.int64)
+        starts_orig = np.concatenate(([0], np.cumsum(lens_orig)[:-1]))
+        lens_p = lens_orig[perm]
+        pair_pos_starts = np.concatenate(([0], np.cumsum(lens_p)[:-1]))
+        n_pos = int(lens_p.sum())
+        gather = (
+            np.repeat(starts_orig[perm] - pair_pos_starts, lens_p)
+            + np.arange(n_pos, dtype=np.int64)
+        )
+        pos_sorted = pos_flat[gather]
+        pos_starts = pair_pos_starts[starts]  # per-TERM run starts in position space
 
-    # all three binary columns come out of one vectorized encode each
+    # all binary columns come out of one vectorized encode each; position
+    # deltas restart per (term, doc) pair, and the binary cells slice per term
     deltas = codec.segmented_delta_encode(ids_all.astype(np.uint64), starts)
+    pdeltas = codec.segmented_delta_encode(pos_sorted.astype(np.uint64), pair_pos_starts)
     table = pa.table(
         {
             "term": pa.array(terms_u, pa.string()),
@@ -290,6 +315,9 @@ def _build_one_segment(
             "doc_ids_vb": codec.segmented_varbyte_binary(deltas, starts, total),
             "tfs_vb": codec.segmented_varbyte_binary(tf_vals.astype(np.uint64), starts, total),
             "dls_vb": codec.segmented_varbyte_binary(dls_all.astype(np.uint64), starts, total),
+            "pos_vb": codec.segmented_varbyte_binary(
+                pdeltas, pos_starts, int(pos_sorted.size)
+            ),
         },
         schema=seg_store.POSTINGS_ARROW_SCHEMA,
     )
@@ -500,7 +528,7 @@ def build_index(
         if pack_before_shuffle:
             pack_schema = ", ".join(
                 [f"`{n}` {t}" for n, t in work.drop(content_col).dtypes]
-                + ["terms_blob string", "tfs_vb binary", "n_terms long"]
+                + ["terms_blob string", "tfs_vb binary", "pos_vb binary", "n_terms long"]
             )
             work = work.mapInPandas(
                 _pack_fn(content_col, [*dm_cols, "sha256"]), pack_schema
@@ -722,7 +750,7 @@ def append_index(
     if pack_before_shuffle:
         pack_schema = ", ".join(
             [f"`{n}` {t}" for n, t in work.drop(content_col).dtypes]
-            + ["terms_blob string", "tfs_vb binary", "n_terms long"]
+            + ["terms_blob string", "tfs_vb binary", "pos_vb binary", "n_terms long"]
         )
         work = work.mapInPandas(_pack_fn(content_col, [*dm_cols, "sha256"]), pack_schema)
     ranged = (
@@ -778,12 +806,84 @@ def append_index(
     return stats
 
 
+def delete_docs(spark: SparkSession, index_dir: str, doc_ids) -> None:
+    """Soft-delete documents by INTERNAL doc id (ES ``_bulk`` delete, H1).
+
+    Lucene-style tombstones: a parquet batch of deleted ids is appended under
+    ``<index_dir>/deletes/``; segments are untouched.  Queries exclude
+    tombstoned docs from matches, but — exactly like Lucene soft deletes —
+    corpus statistics (N, df, avgdl) keep counting them until a merge
+    compacts them away (``merge_segments(apply_deletes=True)``).  Deleting an
+    id twice is harmless (the query-side anti-join is idempotent).
+
+    ``doc_ids``: a DataFrame with a ``doc_id`` column, or an iterable of ints.
+    """
+    if not isinstance(doc_ids, DataFrame):
+        doc_ids = spark.createDataFrame([(int(i),) for i in doc_ids], "doc_id long")
+    (
+        doc_ids.select(F.col("doc_id").cast("long"))
+        .write.mode("append")
+        .parquet(os.path.join(index_dir, "deletes"))
+    )
+
+
+def delete_by_keys(
+    spark: SparkSession,
+    index_dir: str,
+    keys: DataFrame,
+    key_cols: tuple[str, ...] = ("repo", "path", "commit"),
+) -> None:
+    """Soft-delete by natural key: resolve keys through the docmap, then
+    tombstone the matching internal ids (the key-addressed ES delete)."""
+    docmap = spark.read.parquet(os.path.join(index_dir, "docmap"))
+    ids = docmap.join(keys.select(*key_cols).distinct(), on=list(key_cols)).select(
+        "doc_id"
+    )
+    delete_docs(spark, index_dir, ids)
+
+
+def upsert_index(
+    spark: SparkSession,
+    docs: DataFrame,
+    index_dir: str,
+    *,
+    content_col: str = "content",
+    key_cols: tuple[str, ...] = ("repo", "path", "commit"),
+    docmap_cols: tuple[str, ...] = (),
+    num_partitions: int | None = None,
+    pack_before_shuffle: bool = False,
+) -> dict:
+    """ES ``_bulk`` index action: update-or-insert by natural key.
+
+    Spark/Lucene shape: tombstone any existing docs holding the incoming
+    keys (delete_by_keys), then append the batch as fresh segments with new
+    docIDs (append_index) — documents are immutable, updates are
+    delete+reinsert, exactly Lucene's model.  The key resolution is one
+    docmap join (key-pruned columns only); the append reuses the resumable
+    ledger machinery.
+    """
+    manifest = load_manifest(index_dir)
+    if manifest is not None:
+        delete_by_keys(spark, index_dir, docs.select(*key_cols), key_cols)
+    return append_index(
+        spark,
+        docs,
+        index_dir,
+        content_col=content_col,
+        key_cols=key_cols,
+        docmap_cols=docmap_cols,
+        num_partitions=num_partitions,
+        pack_before_shuffle=pack_before_shuffle,
+    )
+
+
 def merge_segments(
     spark: SparkSession,
     index_dir: str,
     out_dir: str,
     *,
     fanin: int = 8,
+    apply_deletes: bool = False,
 ) -> None:
     """Merge segments ``fanin``-at-a-time into larger ones (H4).
 
@@ -793,15 +893,56 @@ def merge_segments(
     ranges are disjoint and ordered by seg_id, concatenating per-segment
     postings in seg_id order preserves global docID order, so re-encoding is
     a linear concat, no re-sort.
+
+    ``apply_deletes=True`` compacts soft deletes away Lucene-style: rows of
+    tombstoned docs are dropped while merging (ids/tfs/dls masked, position
+    runs filtered by the same occurrence mask), df re-counted.  The deleted
+    set ships to executors as a broadcast sorted array (np.isin per bucket);
+    at a deleted-fraction where that array itself is big, rewrite via an
+    anti-join on exploded postings instead.
     """
     postings = spark.read.parquet(seg_store.segments_glob(index_dir))
     bucketed = postings.withColumn("merge_bucket", (F.col("seg_id") / F.lit(fanin)).cast("long"))
+
+    deleted_bc = None
+    if apply_deletes:
+        ddir = os.path.join(index_dir, "deletes")
+        if os.path.isdir(ddir):
+            arr = np.sort(
+                np.array(
+                    [r["doc_id"] for r in spark.read.parquet(ddir).distinct().collect()],
+                    dtype=np.int64,
+                )
+            )
+            if arr.size:
+                deleted_bc = spark.sparkContext.broadcast(arr)
 
     def merge(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("seg_id")
         ids = np.concatenate([codec.decode_posting_ids(b) for b in pdf["doc_ids_vb"]])
         tfs = np.concatenate([codec.varbyte_decode(b) for b in pdf["tfs_vb"]])
         dls = np.concatenate([codec.varbyte_decode(b) for b in pdf["dls_vb"]])
+        if deleted_bc is None:
+            # position deltas restart per doc and varbyte streams are
+            # self-delimiting, so seg-ordered byte concatenation IS the
+            # merged positional list (boundaries recovered from the
+            # concatenated tfs) — no decode/re-encode needed
+            pos_vb = b"".join(pdf["pos_vb"])
+        else:
+            mask = ~np.isin(ids.astype(np.int64), deleted_bc.value)
+            pdeltas = codec.varbyte_decode(b"".join(pdf["pos_vb"]))
+            starts = np.concatenate(([0], np.cumsum(tfs)[:-1])).astype(np.int64)
+            pos_abs = codec.segmented_delta_decode(pdeltas, starts)
+            keep_occ = np.repeat(mask, tfs.astype(np.int64))
+            ids, tfs, dls = ids[mask], tfs[mask], dls[mask]
+            if ids.size == 0:
+                return pd.DataFrame(
+                    [], columns=["term", "seg_id", "df", "doc_ids_vb", "tfs_vb", "dls_vb", "pos_vb"]
+                )
+            new_starts = np.concatenate(([0], np.cumsum(tfs)[:-1])).astype(np.int64)
+            pos_vb = codec.varbyte_encode(
+                codec.segmented_delta_encode(pos_abs[keep_occ], new_starts)
+            )
         return pd.DataFrame(
             [
                 {
@@ -811,6 +952,7 @@ def merge_segments(
                     "doc_ids_vb": codec.encode_posting_ids(ids),
                     "tfs_vb": codec.varbyte_encode(tfs),
                     "dls_vb": codec.varbyte_encode(dls),
+                    "pos_vb": pos_vb,
                 }
             ]
         )
@@ -818,9 +960,63 @@ def merge_segments(
     merged = bucketed.groupBy("term", "merge_bucket").applyInPandas(
         merge, seg_store.POSTINGS_SPARK_SCHEMA
     )
+    n_buckets = max(1, bucketed.select("merge_bucket").distinct().count())
     (
-        merged.repartitionByRange(max(1, bucketed.select("merge_bucket").distinct().count()), "seg_id", "term")
+        merged.repartitionByRange(n_buckets, "seg_id", "term")
         .sortWithinPartitions("seg_id", "term")
         .write.mode("overwrite")
         .parquet(os.path.join(out_dir, "segments"))
+    )
+
+    # --- finalize: make out_dir a fully-openable index ------------------
+    # (stats.json + term_stats + docmap).  The merged dir is a read-
+    # optimized snapshot — per-segment build lineage (manifest) stays with
+    # the source index; resume/append continue against index_dir.
+    merged_read = spark.read.parquet(os.path.join(out_dir, "segments"))
+    (
+        merged_read.groupBy("term")
+        .agg(F.sum("df").alias("df"))
+        .repartitionByRange(n_buckets, "term")
+        .sortWithinPartitions("term")
+        .write.mode("overwrite")
+        .parquet(os.path.join(out_dir, "term_stats"))
+    )
+    docmap = spark.read.parquet(os.path.join(index_dir, "docmap"))
+    old_stats = seg_store.load_stats(index_dir)
+    if deleted_bc is not None:
+        ddf = spark.createDataFrame(
+            [(int(i),) for i in deleted_bc.value], "doc_id long"
+        )
+        docmap = docmap.join(F.broadcast(ddf), on="doc_id", how="left_anti")
+        docmap.write.mode("overwrite").parquet(os.path.join(out_dir, "docmap"))
+        n_docs = spark.read.parquet(os.path.join(out_dir, "docmap")).count()
+        # Σ tf over merged postings counts every surviving token occurrence
+        # exactly once; one Arrow-batched decode per posting cell
+        tf_sum = F.pandas_udf(
+            lambda s: s.map(lambda b: int(codec.varbyte_decode(b).sum())), "long"
+        )
+        total_tokens = (
+            merged_read.select(tf_sum("tfs_vb").alias("t")).agg(F.sum("t")).collect()[0][0]
+            or 0
+        )
+    else:
+        # stats are unchanged (soft deletes keep counting, Lucene-style);
+        # carry any tombstones forward so the merged index still masks them
+        docmap.write.mode("overwrite").parquet(os.path.join(out_dir, "docmap"))
+        n_docs = int(old_stats["n_docs"])
+        total_tokens = int(old_stats["total_tokens"])
+        src_deletes = os.path.join(index_dir, "deletes")
+        if os.path.isdir(src_deletes):
+            spark.read.parquet(src_deletes).write.mode("overwrite").parquet(
+                os.path.join(out_dir, "deletes")
+            )
+    seg_store.save_stats(
+        out_dir,
+        {
+            "n_docs": int(n_docs),
+            "total_tokens": int(total_tokens),
+            "avgdl": (total_tokens / n_docs) if n_docs else 0.0,
+            "n_segments": n_buckets,
+            "tokenizer_version": old_stats["tokenizer_version"],
+        },
     )

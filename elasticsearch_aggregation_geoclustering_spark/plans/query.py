@@ -71,6 +71,42 @@ def _decode_postings_fn(lucene_norms: bool):
     return decode
 
 
+def _decode_positions_fn(lucene_norms: bool):
+    """mapInPandas decode to one row per (term, doc, position occurrence)."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            terms, doc_ids, dls, poss = [], [], [], []
+            for term, ids_vb, tfs_vb, dls_vb, pos_vb in zip(
+                pdf["term"], pdf["doc_ids_vb"], pdf["tfs_vb"], pdf["dls_vb"], pdf["pos_vb"]
+            ):
+                ids = codec.decode_posting_ids(ids_vb).astype(np.int64)
+                tfs = codec.varbyte_decode(tfs_vb).astype(np.int64)
+                dl = codec.varbyte_decode(dls_vb).astype(np.int64)
+                if lucene_norms:
+                    dl = bm25.quantize_doc_length(dl)
+                pdeltas = codec.varbyte_decode(pos_vb)
+                run_starts = np.concatenate(([0], np.cumsum(tfs)[:-1]))
+                pos = codec.segmented_delta_decode(pdeltas, run_starts).astype(np.int64)
+                n = int(tfs.sum())
+                terms.append(np.full(n, term, dtype=object))
+                doc_ids.append(np.repeat(ids, tfs))
+                dls.append(np.repeat(dl, tfs))
+                poss.append(pos)
+            yield pd.DataFrame(
+                {
+                    "term": np.concatenate(terms),
+                    "doc_id": np.concatenate(doc_ids),
+                    "dl": np.concatenate(dls),
+                    "pos": np.concatenate(poss),
+                }
+            )
+
+    return decode
+
+
 #: dictionaries up to this many terms are collected to the driver once and
 #: answer every subsequent df lookup without a Spark job (a few MB); larger
 #: dictionaries (the 10^8-term source-code case) keep the per-query pruned
@@ -88,6 +124,8 @@ class InvertedIndex:
     avgdl: float
     _df_cache: dict | None = None
     _df_cache_checked: bool = False
+    _deletes_checked: bool = False
+    _deleted: DataFrame | None = None
 
     @classmethod
     def open(cls, spark: SparkSession, index_dir: str) -> "InvertedIndex":
@@ -110,10 +148,59 @@ class InvertedIndex:
         return self.spark.read.parquet(os.path.join(self.index_dir, "docmap"))
 
     def term_doc_rows(self, terms: list[str] | None = None, lucene_norms: bool = False) -> DataFrame:
-        """Decoded posting stream: (term, doc_id, tf, dl)."""
-        return self.postings(terms).mapInPandas(
-            _decode_postings_fn(lucene_norms), DECODED_SCHEMA
+        """Decoded posting stream: (term, doc_id, tf, dl).
+
+        The projection happens BEFORE the decode so parquet column pruning
+        skips the position bytes entirely — term/BM25 queries pay nothing
+        for the positional index.
+        """
+        pruned = self.postings(terms).select("term", "doc_ids_vb", "tfs_vb", "dls_vb")
+        return pruned.mapInPandas(_decode_postings_fn(lucene_norms), DECODED_SCHEMA)
+
+    def term_position_rows(
+        self, terms: list[str], lucene_norms: bool = False
+    ) -> DataFrame:
+        """Fully exploded positional stream: (term, doc_id, dl, pos).
+
+        One output row per token OCCURRENCE of a query term — the substrate
+        for phrase/proximity matching.  Decode is Arrow-batched numpy: doc
+        ids repeat by tf, positions are one segmented delta-decode per
+        posting cell.  Row volume is Σ tf over the query terms only (the
+        posting scan is term-pruned), never the whole index.
+        """
+        pruned = self.postings(terms).select(
+            "term", "doc_ids_vb", "tfs_vb", "dls_vb", "pos_vb"
         )
+        return pruned.mapInPandas(
+            _decode_positions_fn(lucene_norms), "term string, doc_id long, dl long, pos long"
+        )
+
+    def deleted_ids(self) -> DataFrame | None:
+        """Tombstoned doc ids (plans.index_build.delete_docs), or None.
+
+        Lucene soft-delete semantics: tombstoned docs are excluded from
+        MATCHES but still counted in corpus statistics (N, df, avgdl, norms)
+        until ``merge_segments(apply_deletes=True)`` compacts them away —
+        scores of live docs are unchanged by a delete, exactly as in ES.
+        """
+        if not self._deletes_checked:
+            self._deletes_checked = True
+            ddir = os.path.join(self.index_dir, "deletes")
+            if os.path.isdir(ddir):
+                self._deleted = self.spark.read.parquet(ddir).select("doc_id").distinct()
+        return self._deleted
+
+    def _live(self, rows: DataFrame) -> DataFrame:
+        """Filter a doc_id-keyed stream to live docs (anti-join tombstones).
+
+        Broadcast is right while the tombstone set is small relative to the
+        corpus (the normal regime — heavy deletion should trigger a merge);
+        Spark falls back to a shuffled anti-join if it outgrows the limit.
+        """
+        deleted = self.deleted_ids()
+        if deleted is None:
+            return rows
+        return rows.join(F.broadcast(deleted), on="doc_id", how="left_anti")
 
     def df_of(self, terms: list[str]) -> dict[str, int]:
         """Global document frequencies (driver-side, tiny).
@@ -139,10 +226,11 @@ class InvertedIndex:
         terms = sorted(set(terms))
         if not terms:
             return 0
-        if len(terms) == 1:
-            # fast path: df is precomputed
+        if len(terms) == 1 and self.deleted_ids() is None:
+            # fast path: df is precomputed (df counts tombstoned docs, so it
+            # only answers hit counts while the index has no soft deletes)
             return self.df_of(terms).get(terms[0], 0)
-        rows = self.term_doc_rows(terms)
+        rows = self._live(self.term_doc_rows(terms))
         if mode.upper() == "AND":
             return (
                 rows.groupBy("doc_id")
@@ -164,7 +252,9 @@ class InvertedIndex:
         df_map = self.df_of(terms)
         idfs = bm25.idf_map(self.n_docs, df_map)
 
-        rows = self.term_doc_rows([t for t in terms if t in df_map], params.lucene_norms)
+        rows = self._live(
+            self.term_doc_rows([t for t in terms if t in df_map], params.lucene_norms)
+        )
         if not df_map:
             return rows.select("doc_id", F.lit(0.0).alias("score")).limit(0)
 
@@ -192,6 +282,79 @@ class InvertedIndex:
         if mode.upper() == "AND":
             agg = agg.where(F.col("_nterms") == len(terms))
         return agg.select("doc_id", "score").orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    def _phrase_occurrences(
+        self, phrase: list[str], lucene_norms: bool = False
+    ) -> DataFrame:
+        """Per-doc exact-phrase stats: (doc_id, ptf, dl); empty if any phrase
+        term is absent from the dictionary (an ES match_phrase matches
+        nothing when a position is unfillable).
+
+        Plan: term-pruned positional decode → join the tiny (term, offset)
+        table (broadcast; one row per phrase POSITION, so repeated terms get
+        every offset they must fill) → normalize each occurrence to its
+        candidate start ``pos - offset`` → a phrase starts at p iff all
+        len(phrase) offsets are present: ONE groupBy (doc, start) counting
+        distinct offsets, then ONE groupBy (doc) counting starts.  Both
+        shuffles are keyed by doc-dominated keys — uniform, no hot keys
+        beyond true mass-duplicate docs.
+        """
+        spark = self.spark
+        uniq = sorted(set(phrase))
+        df_map = self.df_of(uniq)
+        if len(df_map) < len(uniq):  # some term matches nothing anywhere
+            return spark.createDataFrame([], "doc_id long, ptf long, dl long")
+        rows = self._live(self.term_position_rows(uniq, lucene_norms))
+        offsets = spark.createDataFrame(
+            [(t, i) for i, t in enumerate(phrase)], "term string, off int"
+        )
+        hits = rows.join(F.broadcast(offsets), on="term").select(
+            "doc_id", "dl", (F.col("pos") - F.col("off")).alias("start"), "off"
+        )
+        starts = (
+            hits.where(F.col("start") >= 0)
+            .groupBy("doc_id", "start")
+            .agg(F.count_distinct("off").alias("_n"), F.max("dl").alias("dl"))
+            .where(F.col("_n") == len(phrase))
+        )
+        return starts.groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("ptf"), F.max("dl").alias("dl")
+        )
+
+    def phrase_match_count(self, phrase: list[str]) -> int:
+        """hits.total for an exact match_phrase query (slop=0)."""
+        if not phrase:
+            return 0
+        return self._phrase_occurrences(phrase).count()
+
+    def phrase_search(
+        self,
+        phrase: list[str],
+        k: int = 10,
+        params: bm25.Bm25Params = bm25.Bm25Params(),
+    ) -> DataFrame:
+        """BM25-scored exact phrase top-k: (doc_id, score), ≤ k rows.
+
+        Lucene PhraseQuery semantics: the phrase scores like a single
+        pseudo-term whose tf is the PHRASE frequency and whose idf is the sum
+        of the member terms' idfs — BM25Similarity receives one TermStatistics
+        per phrase position, so a repeated term contributes its idf once per
+        position.  score = idf_sum · ptf / (ptf + k1·(1 − b + b·dl/avgdl)).
+        """
+        spark = self.spark
+        if not phrase:
+            return spark.createDataFrame([], "doc_id long, score double")
+        occ = self._phrase_occurrences(phrase, params.lucene_norms)
+        df_map = self.df_of(sorted(set(phrase)))
+        idfs = bm25.idf_map(self.n_docs, df_map)
+        idf_sum = sum(idfs.get(t, 0.0) for t in phrase)  # per position, dups counted
+        ptf_d = F.col("ptf").cast("double")
+        dl_d = F.col("dl").cast("double")
+        denom = ptf_d + F.lit(params.k1) * (
+            F.lit(1.0) - F.lit(params.b) + F.lit(params.b) * dl_d / F.lit(self.avgdl)
+        )
+        scored = occ.select("doc_id", (F.lit(idf_sum) * (ptf_d / denom)).alias("score"))
+        return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
     def search_with_docs(self, terms: list[str], k: int = 10, mode: str = "OR", **kw) -> DataFrame:
         """Top-k joined back to the docmap (broadcast the tiny top-k side)."""

@@ -43,11 +43,18 @@ POSTINGS_ARROW_SCHEMA = pa.schema(
         ("doc_ids_vb", pa.binary()),  # delta+varbyte sorted docIDs
         ("tfs_vb", pa.binary()),  # varbyte term frequencies (aligned)
         ("dls_vb", pa.binary()),  # varbyte doc lengths (denormalized norms)
+        # varbyte token positions, delta-encoded with a restart per doc —
+        # positions for the i-th doc of the posting are the next tfs[i]
+        # values (Lucene stores positions for text fields by default; phrase
+        # and proximity queries are unanswerable without them).  Parquet
+        # column pruning means term/BM25 queries never read these bytes.
+        ("pos_vb", pa.binary()),
     ]
 )
 
 POSTINGS_SPARK_SCHEMA = (
-    "term string, seg_id long, df long, doc_ids_vb binary, tfs_vb binary, dls_vb binary"
+    "term string, seg_id long, df long, doc_ids_vb binary, tfs_vb binary,"
+    " dls_vb binary, pos_vb binary"
 )
 
 SEGMENT_MANIFEST_SPARK_SCHEMA = (

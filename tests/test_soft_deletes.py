@@ -1,0 +1,175 @@
+"""Soft deletes, upserts, and delete-compacting merges (H1 `_bulk` parity).
+
+ES `_bulk` supports update/delete; Lucene models both as tombstone +
+re-insert.  These tests pin the repo's semantics:
+
+- tombstoned docs are excluded from MATCHES (match_count, search, phrase)
+  but corpus statistics (N, df, avgdl) keep counting them until a merge
+  compacts them away — exactly Lucene soft deletes (live docs' scores are
+  unchanged by a delete);
+- ``upsert_index`` = delete_by_keys + append_index (documents immutable,
+  update is delete+reinsert);
+- ``merge_segments(apply_deletes=True)`` drops tombstoned rows from the
+  postings (positions included), refreshes stats/docmap, and the merged
+  dir opens as a normal index.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pytest
+
+from elasticsearch_aggregation_geoclustering_spark.plans.index_build import (
+    build_index,
+    delete_by_keys,
+    delete_docs,
+    merge_segments,
+    upsert_index,
+)
+from elasticsearch_aggregation_geoclustering_spark.plans.query import InvertedIndex
+
+DOCS = [
+    (0, "alpha beta gamma"),
+    (1, "alpha beta beta delta"),
+    (2, "gamma delta epsilon"),
+    (3, "alpha gamma gamma"),
+    (4, "beta delta"),
+    (5, "zeta eta theta alpha beta"),
+]
+
+
+@pytest.fixture()
+def index_dir(spark):
+    d = tempfile.mkdtemp(prefix="delidx_")
+    docs = spark.createDataFrame(DOCS, "orig_id long, text string")
+    build_index(
+        spark, docs, d, content_col="text", key_cols=("orig_id",), docs_per_segment=2
+    )
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _orig_ids(index, df):
+    dm = {r["doc_id"]: r["orig_id"] for r in index.docmap().collect()}
+    return sorted(dm[r["doc_id"]] for r in df.collect())
+
+
+def _internal_ids(spark, index_dir, orig_ids):
+    dm = InvertedIndex.open(spark, index_dir).docmap()
+    return [
+        r["doc_id"]
+        for r in dm.where(dm["orig_id"].isin(list(orig_ids))).collect()
+    ]
+
+
+def test_delete_masks_matches_but_not_stats(spark, index_dir):
+    before = InvertedIndex.open(spark, index_dir)
+    n_alpha = before.match_count(["alpha"])
+    assert n_alpha == 4
+    delete_docs(spark, index_dir, _internal_ids(spark, index_dir, [0, 3]))
+
+    after = InvertedIndex.open(spark, index_dir)
+    # matches exclude tombstones...
+    assert after.match_count(["alpha"]) == 2
+    assert after.match_count(["alpha", "gamma"], mode="AND") == 0
+    assert _orig_ids(after, after.search(["alpha"], k=10)) == [1, 5]
+    # ...but corpus stats still count them (Lucene soft-delete semantics)
+    assert after.n_docs == before.n_docs
+    assert after.avgdl == before.avgdl
+    assert after.df_of(["alpha"]) == before.df_of(["alpha"])
+
+
+def test_delete_is_idempotent_and_scores_stable(spark, index_dir):
+    base = InvertedIndex.open(spark, index_dir)
+    pre = {
+        r["doc_id"]: r["score"] for r in base.search(["beta"], k=10).collect()
+    }
+    victims = _internal_ids(spark, index_dir, [4])
+    delete_docs(spark, index_dir, victims)
+    delete_docs(spark, index_dir, victims)  # double delete is harmless
+    after = InvertedIndex.open(spark, index_dir)
+    post = {
+        r["doc_id"]: r["score"] for r in after.search(["beta"], k=10).collect()
+    }
+    assert set(post) == set(pre) - set(victims)
+    for did, s in post.items():
+        assert s == pre[did]  # surviving docs' scores unchanged by the delete
+
+
+def test_phrase_respects_deletes(spark, index_dir):
+    idx = InvertedIndex.open(spark, index_dir)
+    assert idx.phrase_match_count(["alpha", "beta"]) == 3  # docs 0, 1, 5
+    delete_docs(spark, index_dir, _internal_ids(spark, index_dir, [1]))
+    idx2 = InvertedIndex.open(spark, index_dir)
+    assert idx2.phrase_match_count(["alpha", "beta"]) == 2
+    assert _orig_ids(idx2, idx2.phrase_search(["alpha", "beta"], k=10)) == [0, 5]
+
+
+def test_delete_by_keys(spark, index_dir):
+    keys = spark.createDataFrame([(2,), (4,)], "orig_id long")
+    delete_by_keys(spark, index_dir, keys, key_cols=("orig_id",))
+    idx = InvertedIndex.open(spark, index_dir)
+    assert _orig_ids(idx, idx.search(["delta"], k=10)) == [1]
+
+
+def test_upsert_replaces_by_key(spark, index_dir):
+    new = spark.createDataFrame(
+        [(1, "omega omega"), (6, "alpha omega")], "orig_id long, text string"
+    )
+    upsert_index(
+        spark, new, index_dir, content_col="text", key_cols=("orig_id",)
+    )
+    idx = InvertedIndex.open(spark, index_dir)
+    # old doc 1 content is gone from matches; new content + new doc visible
+    assert idx.match_count(["delta"]) == 2  # docs 2, 4 (old 1 tombstoned)
+    assert _orig_ids(idx, idx.search(["omega"], k=10)) == [1, 6]
+    assert idx.match_count(["alpha"]) == 4  # 0, 3, 5, new 6
+    # docmap now holds both generations of key 1; matches only the live one
+    gen = idx.docmap().where("orig_id = 1").count()
+    assert gen == 2
+
+
+def test_merge_apply_deletes_compacts(spark, index_dir):
+    delete_docs(spark, index_dir, _internal_ids(spark, index_dir, [0, 4]))
+    out = tempfile.mkdtemp(prefix="delmerge_")
+    try:
+        merge_segments(spark, index_dir, out, fanin=8, apply_deletes=True)
+        live = [1, 2, 3, 5]
+        live_tokens = sum(len(DOCS[i][1].split()) for i in live)
+        compacted = InvertedIndex.open(spark, out)
+        # stats refreshed: tombstones gone from N / avgdl / df
+        assert compacted.n_docs == len(live)
+        assert compacted.avgdl == live_tokens / len(live)
+        assert compacted.df_of(["beta"]) == {"beta": 2}  # docs 1, 5
+        assert "gamma" in compacted.df_of(["gamma"])
+        # matches identical to the soft-deleted source index
+        src = InvertedIndex.open(spark, index_dir)
+        for terms in (["alpha"], ["beta"], ["gamma", "delta"]):
+            assert _orig_ids(compacted, compacted.search(terms, k=10)) == _orig_ids(
+                src, src.search(terms, k=10)
+            )
+        # positions survive compaction
+        assert compacted.phrase_match_count(["alpha", "beta"]) == 2  # 1, 5
+        # docmap filtered; no tombstone dir carried
+        assert sorted(
+            r["orig_id"] for r in compacted.docmap().collect()
+        ) == live
+        assert not os.path.isdir(os.path.join(out, "deletes"))
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def test_merge_without_apply_carries_tombstones(spark, index_dir):
+    delete_docs(spark, index_dir, _internal_ids(spark, index_dir, [3]))
+    out = tempfile.mkdtemp(prefix="carrymerge_")
+    try:
+        merge_segments(spark, index_dir, out, fanin=8, apply_deletes=False)
+        merged = InvertedIndex.open(spark, out)
+        src = InvertedIndex.open(spark, index_dir)
+        assert merged.n_docs == src.n_docs  # stats untouched
+        assert _orig_ids(merged, merged.search(["gamma"], k=10)) == [0, 2]
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
