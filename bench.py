@@ -81,10 +81,25 @@ def main() -> None:
     extra: dict[str, float] = {}
     index_dir = tempfile.mkdtemp(prefix="bench_idx_")
 
-    def timed(name: str, fn) -> None:
+    warm: dict[str, float] = {}
+
+    def timed(name: str, fn, *, rerun: bool = True) -> None:
+        """Time ``fn`` cold (first run: includes codegen/janino compile and
+        Arrow python-worker spinup) and once more warm (steady state).
+
+        ``queries`` keeps the COLD figure — comparable with earlier rounds'
+        single-shot protocol; ``extra.queries_warm`` carries the warm figure,
+        which is what a long-running cluster actually pays per query (the
+        one-time compile amortizes to zero at 100 TB).  Mutating operators
+        (index build) are cold-only.
+        """
         t0 = time.perf_counter()
         fn()
         timings[name] = round(time.perf_counter() - t0, 4)
+        if rerun:
+            t0 = time.perf_counter()
+            fn()
+            warm[name] = round(time.perf_counter() - t0, 4)
 
     # 1) index build throughput (the north_rule headline)
     def _build():
@@ -98,7 +113,7 @@ def main() -> None:
             resume=False,
         )
 
-    timed("index_build", _build)
+    timed("index_build", _build, rerun=False)
     extra["index_files_per_sec"] = round(n_docs / timings["index_build"], 2)
 
     index = InvertedIndex.open(spark, index_dir)
@@ -158,6 +173,8 @@ def main() -> None:
     timed("text_lang_id", lambda: textstats.lang_id(docs, "text", "doc_id").count())
 
     shutil.rmtree(index_dir, ignore_errors=True)
+    extra["queries_warm"] = warm
+    extra["suite_warm_sec"] = round(sum(warm.values()), 4)
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(

@@ -87,6 +87,21 @@ def cell_expr(lon: Column, lat: Column, precision: int, *, validate: bool = True
     ).cast("long")
     if not validate:
         return key
+    # the validator rides OUTSIDE the heavy key expression as an additive
+    # term: `key + CASE(...)`.  Putting `key` inside a CASE branch would
+    # disable codegen common-subexpression elimination (conditional branches
+    # are evaluated lazily, so the ~32 textual copies of FLOOR(least(...))
+    # in the spread-bits expansion each re-evaluate per row — measured 4x
+    # slower).  Here key stays unconditional (CSE collapses the copies),
+    # while NULL coords null-propagate through the addition, and the raise
+    # fires when the validator term is evaluated on a bad row.
+    return key + _validator_expr(lon_d, lat_d)
+
+
+def _validator_expr(lon_d: Column, lat_d: Column) -> Column:
+    """Additive coordinate guard: NULL when absent, raises when out of
+    range/NaN, else 0 — add it to a key expression to validate without
+    nesting the key inside a CASE branch."""
     absent = lon_d.isNull() | lat_d.isNull()
     bad = (
         (lon_d < F.lit(-180.0)) | (lon_d > F.lit(180.0))
@@ -104,5 +119,55 @@ def cell_expr(lon: Column, lat: Column, precision: int, *, validate: bool = True
     return (
         F.when(absent, F.lit(None).cast("long"))
         .when(bad, err.cast("long"))
-        .otherwise(key)
+        .otherwise(F.lit(0).cast("long"))
     )
+
+
+def with_cell_column(
+    df,
+    lon_col: str,
+    lat_col: str,
+    precision: int,
+    out_col: str = "cell",
+    *,
+    validate: bool = True,
+):
+    """``cell_expr`` as STAGED projections: same bits, linear-size codegen.
+
+    The single-Column form textually expands the 5 spread steps 2^5-fold
+    (each step references its input twice); runtime CSE collapses the
+    evaluations, but janino still has to compile the expanded source —
+    ~2 s of one-time latency per distinct precision.  Staging each spread
+    step as its own projection keeps the generated source linear (fast
+    compile, identical fused eval): Catalyst's CollapseProject leaves the
+    chain alone because merging would duplicate non-cheap expressions, and
+    whole-stage codegen fuses the Projects into one function with local
+    variables anyway.
+    """
+    if not 1 <= precision <= 11:
+        raise ValueError(f"with_cell_column supports precision 1..11: {precision}")
+    lon_d, lat_d = F.col(lon_col).cast("double"), F.col(lat_col).cast("double")
+    tlat, tlon = f"_gh_{out_col}_lat", f"_gh_{out_col}_lon"
+    df = df.withColumns(
+        {
+            tlat: _encode_axis_expr(lat_d, LATITUDE_DECODE, _LAT_MAX),
+            tlon: _encode_axis_expr(lon_d, LONGITUDE_DECODE, _LON_MAX),
+        }
+    )
+    for shift, mask in _SPREAD_STEPS:
+        df = df.withColumns(
+            {
+                c: F.col(c).bitwiseOR(F.shiftleft(F.col(c), shift)).bitwiseAND(F.lit(mask))
+                for c in (tlat, tlon)
+            }
+        )
+    morton = F.col(tlat).bitwiseOR(F.shiftleft(F.col(tlon), 1))
+    kshift = 4 + 5 * (12 - precision)
+    key = (
+        F.shiftleft(F.shiftrightunsigned(morton, kshift), 4)
+        .bitwiseOR(F.lit(precision))
+        .cast("long")
+    )
+    if validate:
+        key = key + _validator_expr(lon_d, lat_d)
+    return df.withColumn(out_col, key).drop(tlat, tlon)

@@ -58,6 +58,7 @@ two key-only jobs are metadata-cheap on columnar sources at any scale.
 from __future__ import annotations
 
 import os
+import warnings
 
 import numpy as np
 import pandas as pd
@@ -147,6 +148,125 @@ def _bucket_offsets(counts: dict[int, int]) -> dict[int, int]:
     return offsets
 
 
+#: fine proxy-bucket resolution: counts are exact per 2^16 contiguous key
+#: ranges, then packed into ~2x num_partitions balanced coarse buckets
+_FINE_BITS = 16
+_PROXY_BYTES = 7
+
+_INT_TYPES = {"tinyint", "smallint", "int", "bigint"}
+
+
+def _encoded_key_expr(key_cols: tuple[str, ...], dtypes: dict[str, str]) -> Column:
+    """Order-preserving string encoding of the key tuple.
+
+    String columns compare bytewise (UTF-8 order == Spark string order);
+    non-negative integers are zero-padded to 19 digits so lexical order is
+    numeric order.  NUL separates columns — it sorts below every other byte,
+    so shorter prefixes order before their extensions, matching tuple order.
+    """
+    parts = []
+    for c in key_cols:
+        if dtypes[c] in _INT_TYPES:
+            parts.append(F.lpad(F.col(c).cast("string"), 19, "0"))
+        else:
+            parts.append(F.col(c).cast("string"))
+    return F.concat_ws("\x00", *parts)
+
+
+def _fine_bucket_expr(encoded: Column, prefix_len: int) -> Column:
+    """Top ``_FINE_BITS`` bits of the 7 key bytes after the corpus-wide
+    common prefix — a pure JVM long, monotone (non-strict) in key order.
+
+    Any key between min and max shares their common prefix, so skipping it
+    spends the proxy's resolution where keys actually diverge (e.g. every
+    repo key starting "github.com/").  7 bytes = 14 hex digits < 2^56, so
+    ``conv`` is exact in a long.
+    """
+    seg = F.substring(F.encode(encoded, "UTF-8"), prefix_len + 1, _PROXY_BYTES)
+    padded = F.rpad(seg, _PROXY_BYTES, F.lit(b"\x00"))
+    v = F.coalesce(F.conv(F.hex(padded), 16, 10).cast("long"), F.lit(0))
+    return F.shiftright(v, _PROXY_BYTES * 8 - _FINE_BITS)
+
+
+def _pack_fine_counts(
+    fine_counts: dict[int, int], n_buckets: int
+) -> tuple[list[int], dict[int, int]]:
+    """Pack contiguous fine buckets into ≤ n_buckets coarse buckets of
+    near-equal EXACT counts.  Returns (fine boundaries, coarse counts);
+    coarse bucket of a row = #{boundaries < fine(row)}."""
+    total = sum(fine_counts.values())
+    if total == 0:
+        return [], {}
+    target = max(1, -(-total // n_buckets))  # ceil
+    bounds: list[int] = []
+    counts: dict[int, int] = {}
+    acc = 0
+    last_fine = None
+    for f in sorted(fine_counts):
+        if acc >= target and last_fine is not None and len(bounds) < n_buckets - 1:
+            bounds.append(last_fine)
+            acc = 0
+        acc += fine_counts[f]
+        counts[len(bounds)] = counts.get(len(bounds), 0) + fine_counts[f]
+        last_fine = f
+    return bounds, counts
+
+
+def _rank_plan(
+    df: DataFrame, key_cols: tuple[str, ...], num_partitions: int
+) -> tuple[Column, dict[int, int], int]:
+    """The docID pre-plan: (bucket expression, exact per-bucket counts,
+    n_docs) in exactly TWO key-only jobs, no sampling.
+
+    Job 1 is one aggregation (count + min/max encoded key + per-int-column
+    min); job 2 counts rows per fine proxy bucket (≤ 2^16 groups) and the
+    driver packs them into balanced coarse buckets with exact offsets.
+    docIDs are invariant to where the boundaries fall — the bucket is
+    monotone in key and offsets are exact prefix counts, so
+    ``offset[bucket] + within-bucket key rank`` IS the global key rank
+    regardless of balance.  Negative integer keys break the zero-pad
+    encoding's order, so they fall back to the legacy sampled-bounds path
+    (one extra sample job) — same docIDs either way.
+    """
+    dtypes = dict(df.dtypes)
+    enc = _encoded_key_expr(key_cols, dtypes)
+    int_cols = [c for c in key_cols if dtypes[c] in _INT_TYPES]
+    row = df.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.min(enc).alias("_min"),
+        F.max(enc).alias("_max"),
+        *[F.min(F.col(c)).alias(f"_imin_{c}") for c in int_cols],
+    ).collect()[0]
+    n_docs = int(row["_n"])
+    if n_docs == 0:
+        return F.lit(0).cast("int"), {}, 0
+    if any(row[f"_imin_{c}"] is not None and row[f"_imin_{c}"] < 0 for c in int_cols):
+        bounds = _sample_key_boundaries(df, key_cols, n_docs, 2 * num_partitions)
+        bexpr = _bucket_column(key_cols, bounds, dtypes)
+        counts = {
+            r["_b"]: r["cnt"]
+            for r in df.select(bexpr.alias("_b"))
+            .groupBy("_b")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        }
+        return bexpr, counts, n_docs
+    prefix_len = len(os.path.commonprefix([row["_min"].encode(), row["_max"].encode()]))
+    fine = _fine_bucket_expr(enc, prefix_len)
+    fine_counts = {
+        int(r["_f"]): int(r["cnt"])
+        for r in df.select(fine.alias("_f"))
+        .groupBy("_f")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    bounds, counts = _pack_fine_counts(fine_counts, 2 * num_partitions)
+    bexpr: Column = F.lit(0)
+    for b in bounds:
+        bexpr = bexpr + (fine > F.lit(b)).cast("int")
+    return bexpr.cast("int"), counts, n_docs
+
+
 def assign_doc_ids(
     df: DataFrame, key_cols: tuple[str, ...], num_partitions: int | None = None
 ) -> DataFrame:
@@ -159,16 +279,7 @@ def assign_doc_ids(
     boundaries).
     """
     num_partitions = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    n_rows = df.select(*key_cols).count()
-    bounds = _sample_key_boundaries(df, key_cols, n_rows, 2 * num_partitions)
-    bexpr = _bucket_column(key_cols, bounds, dict(df.dtypes))
-    counts = {
-        r["_b"]: r["cnt"]
-        for r in df.select(bexpr.alias("_b"))
-        .groupBy("_b")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .collect()
-    }
+    bexpr, counts, _ = _rank_plan(df, key_cols, num_partitions)
     offsets = _bucket_offsets(counts)
     ranged = (
         df.withColumn("_b", bexpr)
@@ -477,21 +588,16 @@ def build_index(
 
     num_partitions = num_partitions or spark.sparkContext.defaultParallelism
 
-    # two key-only jobs (content pruned out of both scans): fixed-seed
-    # boundary sample + exact per-bucket counts -> literal offsets.
-    # n_docs_hint (exact row count, if the caller already knows it) skips the
-    # count job; it only sizes the sample fraction and the expected-segment
-    # figure, so an exact hint changes nothing else.
-    n_docs = n_docs_hint if n_docs_hint is not None else docs.select(*key_cols).count()
-    bounds = _sample_key_boundaries(docs, key_cols, n_docs, 2 * num_partitions)
-    bexpr = _bucket_column(key_cols, bounds, dict(docs.dtypes))
-    counts = {
-        r["_b"]: r["cnt"]
-        for r in docs.select(bexpr.alias("_b"))
-        .groupBy("_b")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .collect()
-    }
+    # TWO key-only pre-jobs total (content pruned out of both scans), no
+    # sampling: one agg for count + min/max key, one exact fine-bucket count
+    # -> literal boundaries + exact offsets (see _rank_plan).  n_docs_hint is
+    # retained for API compatibility; the count now rides the first agg for
+    # free, so the hint changes nothing.
+    bexpr, counts, n_docs = _rank_plan(docs, key_cols, num_partitions)
+    if n_docs_hint is not None and n_docs_hint != n_docs:
+        warnings.warn(
+            f"build_index: n_docs_hint={n_docs_hint} != measured {n_docs}; using measured"
+        )
     offsets = _bucket_offsets(counts)
 
     if manifest is None:

@@ -1,0 +1,88 @@
+"""The two-job docID pre-plan (_rank_plan): exact global key ranks with no
+sampling, robust to shared key prefixes and mixed key types."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from elasticsearch_aggregation_geoclustering_spark.plans.index_build import (
+    _bucket_offsets,
+    _pack_fine_counts,
+    _rank_plan,
+    assign_doc_ids,
+)
+
+
+def _ranks_ok(spark, rows, schema, key_cols, num_partitions=4):
+    df = spark.createDataFrame(rows, schema)
+    out = assign_doc_ids(df, key_cols, num_partitions=num_partitions).collect()
+    got = {tuple(r[c] for c in key_cols): r["doc_id"] for r in out}
+    want = {k: i for i, k in enumerate(sorted(got))}
+    assert got == want  # doc_id == exact global key rank
+    assert sorted(r["doc_id"] for r in out) == list(range(len(rows)))
+
+
+def test_string_keys_shared_prefix(spark):
+    # every key shares a long common prefix — the proxy must spend its
+    # resolution past it, not collapse to one bucket
+    rows = [(f"github.com/org/repo{i:05d}", f"src/f{i}.py") for i in range(400)]
+    _ranks_ok(spark, rows, "repo string, path string", ("repo", "path"))
+
+
+def test_mixed_string_int_keys(spark):
+    rows = [(f"r{i % 7}", i * 13 % 101, f"c{i}") for i in range(300)]
+    # (repo, version, commit) — int column zero-padded into the encoding
+    _ranks_ok(
+        spark, rows, "repo string, version long, commit string",
+        ("repo", "version", "commit"),
+    )
+
+
+def test_negative_int_key_falls_back(spark):
+    rows = [(i - 50,) for i in range(100)]
+    _ranks_ok(spark, rows, "k long", ("k",))
+
+
+def test_empty_input(spark):
+    df = spark.createDataFrame([], "k string")
+    bexpr, counts, n = _rank_plan(df, ("k",), 4)
+    assert n == 0 and counts == {}
+
+
+def test_single_key_row(spark):
+    _ranks_ok(spark, [("only",)], "k string", ("k",))
+
+
+def test_pack_fine_counts_balances():
+    fine = {i: 10 for i in range(100)}
+    bounds, counts = _pack_fine_counts(fine, 8)
+    assert sum(counts.values()) == 1000
+    assert len(counts) <= 8
+    assert max(counts.values()) <= 2 * (1000 // 8)  # near-equal exact packing
+    # offsets are dense prefix sums
+    offs = _bucket_offsets(counts)
+    assert offs[0] == 0 and max(offs.values()) + counts[max(counts)] == 1000
+
+
+def test_pack_fine_counts_skewed_bucket():
+    # one fine bucket holds 90% of rows: it cannot be split, but the rest
+    # must still spread across the remaining coarse buckets
+    fine = {0: 900, **{i: 2 for i in range(1, 51)}}
+    bounds, counts = _pack_fine_counts(fine, 8)
+    assert sum(counts.values()) == 1000
+    assert counts[0] == 900
+
+
+def test_rank_plan_counts_match_exactly(spark):
+    rows = [(f"key{i:04d}",) for i in range(257)]
+    df = spark.createDataFrame(rows, "k string")
+    bexpr, counts, n = _rank_plan(df, ("k",), 4)
+    assert n == 257
+    assert sum(counts.values()) == 257
+    # bucket expression agrees with the counts the driver derived
+    got = {
+        r["_b"]: r["c"]
+        for r in df.select(bexpr.alias("_b")).groupBy("_b").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    assert got == counts
