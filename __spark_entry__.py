@@ -321,6 +321,31 @@ def _q_geo_clustering_paris(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_geo_es_exact_z9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bit-exact ES centroid association (zoom 9): matches the reference's
+    own YAML goldens (20_geo_clustering.yml:148-153) with NO rounding —
+    doc_values grid quantization, per-shard running mean in docID order
+    under real murmur3 id routing, shard-ordered weighted combine, greedy
+    merge.  The oracle is the golden VALUES literal transcribed from the
+    reference rest test, an independent source."""
+    from elasticsearch_aggregation_geoclustering_spark.geo.es_routing import (
+        es_shard_id,
+    )
+
+    rows = [
+        (doc_id, lon, lat, es_shard_id(str(doc_id), 3))
+        for doc_id, lon, lat in _PARIS_POINTS
+    ]
+    pts = spark.createDataFrame(rows, "doc_id long, lon double, lat double, shard int")
+    res = geo_point_clustering(
+        pts, zoom=GEO_ZOOM, es_association=True, shard_col="shard", order_col="doc_id"
+    )
+    data = [(c.doc_count, c.lat, c.lon) for c in res.clusters]
+    return spark.createDataFrame(
+        data, "doc_count long, centroid_lat double, centroid_lon double"
+    )
+
+
 def _q_bm25_topk_or(spark: SparkSession, sf_dir: str) -> DataFrame:
     index = _index_for(spark, sf_dir)
     topk = index.search(TERMS_OR, k=TOPK, mode="OR")
@@ -579,6 +604,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_cell_metrics_z5": _q_geo_cell_metrics,
         "geo_hits_total_bbox": _q_geo_hits_total_bbox,
         "geo_clustering_paris_z9": _q_geo_clustering_paris,
+        "geo_es_exact_z9": _q_geo_es_exact_z9,
         # inverted index + BM25 query engine (SURVEY.md §2.2, north_rule)
         "bm25_topk_or": _q_bm25_topk_or,
         "bm25_topk_and": _q_bm25_topk_and,
@@ -839,6 +865,14 @@ def oracle_sql() -> dict[str, str]:
         "geo_cell_agg_z9": _geo_cell_agg_sql(GEO_ZOOM, bbox=False),
         "geo_cell_agg_z5_bbox": _geo_cell_agg_sql(GEO_ZOOM_COARSE, bbox=True),
         "geo_clustering_paris_z9": _paris_clustering_sql(),
+        # goldens transcribed verbatim from the reference's rest test
+        # (20_geo_clustering.yml "Test Zoom 9") — full doubles, no rounding
+        "geo_es_exact_z9": (
+            "select * from (values"
+            " (9::BIGINT, 48.83695897646248::DOUBLE, 2.380013056099415::DOUBLE),"
+            " (6::BIGINT, 48.86166598415002::DOUBLE, 2.258483301848173::DOUBLE))"
+            " as t(doc_count, centroid_lat, centroid_lon)"
+        ),
         "geo_shard_parity_z9": _geo_shard_parity_sql(),
         "geo_quantized_shard_z9": _geo_quantized_shard_sql(),
         "geo_multipoint_z5": _geo_multipoint_sql(),

@@ -348,6 +348,119 @@ _RESULT_SCHEMA = StructType(
 )
 
 
+def _cell_aggregate_es(
+    df: DataFrame,
+    lon_col: str,
+    lat_col: str,
+    plan: ClusteringPlan,
+    shard_col: str,
+    order_col: str,
+) -> DataFrame:
+    """Bit-exact ES centroid association (opt-in parity mode).
+
+    Reproduces the reference's two-level association arithmetic double for
+    double — the YAML goldens assert FULL rendered centroids
+    (20_geo_clustering.yml:131-132, 148-153) and this mode matches them
+    exactly (tests/test_es_association.py):
+
+    1. doc coordinates round-trip the Lucene 32-bit doc_values grid
+       (GeoEncodingUtils encode/decode) BEFORE any arithmetic — the
+       aggregator reads decoded doc_values, never the raw source;
+    2. per (shard, cell): a RUNNING mean in doc order,
+       ``m += (x - m) / k`` (GeoPointClusteringAggregator.java:140-143);
+    3. per cell: doc-count-weighted combine of the shard partials in
+       shard-id order (BucketReducer.java:41-46).  Partials are NOT
+       re-quantized between 2 and 3: on a single-node cluster (the YAML
+       test environment) the reduce reads the in-memory GeoPoint and skips
+       the wire encode of InternalGeoPointClustering.java:68-70.
+
+    ``shard_col``/``order_col`` define the association order (for ES parity:
+    murmur3 id routing via geo.es_routing.es_shard_column, and Lucene docID
+    = indexing order).  The sequential running mean cannot be vectorized
+    without changing fp results, so step 2 loops per row inside each Arrow
+    batch — this mode exists for parity validation and modest per-cell
+    volumes, not the 100 TB hot path (the exact mode's fused sum/count
+    groupBy is the scale path; its centroids differ from ES only by the
+    association order, ≤ ~1e-7).
+    """
+    lat_step = float(geohash.LATITUDE_DECODE)
+    lon_step = float(geohash.LONGITUDE_DECODE)
+    lat_d, lon_d = F.col(lat_col).cast("double"), F.col(lon_col).cast("double")
+    # Lucene encode steps the +edge down one ulp; everything else floors
+    qlat = (
+        F.floor(F.least(lat_d, F.lit(geohash_expr._LAT_MAX)) / F.lit(lat_step))
+        .cast("double") * F.lit(lat_step)
+    )
+    qlon = (
+        F.floor(F.least(lon_d, F.lit(geohash_expr._LON_MAX)) / F.lit(lon_step))
+        .cast("double") * F.lit(lon_step)
+    )
+    base = (
+        df.where(lat_d.isNotNull() & lon_d.isNotNull())
+        .select(
+            F.col(shard_col).cast("int").alias("_shard"),
+            F.col(order_col).cast("long").alias("_ord"),
+            qlat.alias("_qlat"),
+            qlon.alias("_qlon"),
+        )
+    )
+    # cell keys from the QUANTIZED coords — the reference encodes from the
+    # decoded doc_values, not the raw source
+    base = geohash_expr.with_cell_column(base, "_qlon", "_qlat", plan.precision, "cell")
+
+    def assoc(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["_shard", "_ord"], kind="stable")
+        partials: list[tuple[float, float, int]] = []  # (lat, lon, n) per shard
+        cur_shard = None
+        mlat = mlon = 0.0
+        n = 0
+        for shard, plat, plon in zip(pdf["_shard"], pdf["_qlat"], pdf["_qlon"]):
+            if shard != cur_shard:
+                if n:
+                    partials.append((mlat, mlon, n))
+                cur_shard, mlat, mlon, n = shard, 0.0, 0.0, 0
+            n += 1
+            mlon = mlon + (plon - mlon) / n
+            mlat = mlat + (plat - mlat) / n
+        if n:
+            partials.append((mlat, mlon, n))
+        slat = slon = 0.0
+        cnt = 0
+        for plat, plon, pn in partials:  # shard-ascending (sorted above)
+            slat += plat * pn
+            slon += plon * pn
+            cnt += pn
+        return pd.DataFrame(
+            [
+                {
+                    "cell": key[0],
+                    "doc_count": cnt,
+                    "centroid_lat": slat / cnt,
+                    "centroid_lon": slon / cnt,
+                }
+            ]
+        )
+
+    return base.groupBy("cell").applyInPandas(
+        assoc, "cell long, doc_count long, centroid_lat double, centroid_lon double"
+    )
+
+
+def geo_cell_aggregate_es(
+    df: DataFrame,
+    lon_col: str,
+    lat_col: str,
+    zoom: int = 1,
+    *,
+    shard_col: str,
+    order_col: str,
+    **params,
+) -> DataFrame:
+    """Public wrapper over _cell_aggregate_es (plan derived from zoom)."""
+    plan = plan_clustering(zoom, **params)
+    return _cell_aggregate_es(df, lon_col, lat_col, plan, shard_col, order_col)
+
+
 def geo_point_clustering(
     df: DataFrame,
     lon_col: str = "lon",
@@ -359,6 +472,9 @@ def geo_point_clustering(
     metrics: dict[str, Column] | None = None,
     sample_fraction: float | None = None,
     sample_seed: int = 42,
+    es_association: bool = False,
+    shard_col: str | None = None,
+    order_col: str | None = None,
     **params,
 ) -> ClusteringResult:
     """Full aggregation: distributed cell agg + driver-side greedy merge.
@@ -381,7 +497,19 @@ def geo_point_clustering(
         if sample_fraction < 1:
             df = df.sample(fraction=sample_fraction, seed=sample_seed)
 
-    cells_df = _cell_aggregate(df, lon_col, lat_col, plan, quantize_wire, metrics, shard_parity)
+    if es_association:
+        if metrics or quantize_wire or shard_parity:
+            raise ValueError(
+                "es_association composes with none of metrics/quantize_wire/"
+                "shard_parity (it IS the exact shard protocol)"
+            )
+        if shard_col is None or order_col is None:
+            raise ValueError("es_association requires shard_col and order_col")
+        cells_df = _cell_aggregate_es(df, lon_col, lat_col, plan, shard_col, order_col)
+    else:
+        cells_df = _cell_aggregate(
+            df, lon_col, lat_col, plan, quantize_wire, metrics, shard_parity
+        )
     rows = (
         cells_df.orderBy(F.desc("cell")).limit(plan.size).collect()
     )  # TakeOrderedAndProject; ≤ size rows reach the driver
