@@ -158,6 +158,28 @@ def main() -> None:
     qv = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
     timed("ann_cosine_topk", lambda: similarity.cosine_topk(emb, "vec_id", "embedding", qv, 10).collect())
     timed("ann_lsh_topk", lambda: similarity.rp_lsh_topk(emb, "vec_id", "embedding", qv, 10).collect())
+    # amortized ANN: build the signature index once, probe a query batch
+    # against it (no per-query signature UDF over the corpus)
+    sig_dir = tempfile.mkdtemp(prefix="bench_sig_")
+    t0 = time.perf_counter()
+    similarity.build_signature_index(emb, "vec_id", "embedding", sig_dir, n_planes=16, seed=42)
+    extra["sig_index_build_sec"] = round(time.perf_counter() - t0, 4)
+    qbatch = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.where(F.col("vec_id") < 8).collect()
+    ]
+    t0 = time.perf_counter()
+    alat = []
+    for q in qbatch:
+        tq = time.perf_counter()
+        similarity.rp_lsh_topk_indexed(
+            spark, sig_dir, emb, "vec_id", "embedding", q, 10
+        ).collect()
+        alat.append(time.perf_counter() - tq)
+    timings["ann_lsh_indexed_batch"] = round(time.perf_counter() - t0, 4)
+    extra["ann_indexed_mean_sec"] = round(sum(alat) / len(alat), 4)
+    shutil.rmtree(sig_dir, ignore_errors=True)
+
     timed(
         "ann_band_near_dup",
         lambda: similarity.rp_band_near_pairs(

@@ -269,3 +269,88 @@ def rp_lsh_topk(
         F.bit_count(F.col("_sig").bitwiseXOR(F.lit(qsig))) <= max_probe_hamming
     )
     return cosine_topk(probed, id_col, vec_col, query_vec, k)
+
+
+def build_signature_index(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    out_dir: str,
+    *,
+    n_planes: int = 16,
+    seed: int = 42,
+) -> None:
+    """Persist the RP-LSH signature table ``(vec_id, sig)`` once (parquet).
+
+    ``rp_lsh_topk`` recomputes the signature UDF over the whole corpus per
+    query — fine for one ad-hoc probe, wasteful for a query workload.  The
+    signature table is tiny (16 bytes/row), deterministic for a fixed
+    (dim, n_planes, seed) — rebuilding yields value-identical rows — and
+    sorted by sig so a probe's ``bit_count(xor) <= h`` scan benefits from
+    row-group min/max locality on nearby buckets.  Plane metadata rides in
+    a sidecar so probes can't silently mix plane sets.
+    """
+    import json
+    import os
+
+    first = df.select(vec_col).first()
+    dim = 0 if first is None else len(first[0])
+    planes = rp_planes(dim, n_planes, seed) if dim else None
+    sigs = df.select(
+        F.col(id_col).alias("vec_id"),
+        (
+            rp_signature_column(F.col(vec_col), planes)
+            if dim
+            else F.lit(0).cast("long")
+        ).alias("sig"),
+    )
+    sigs.sort("sig", "vec_id").write.mode("overwrite").parquet(
+        os.path.join(out_dir, "signatures")
+    )
+    meta = {"n_planes": n_planes, "seed": seed, "dim": dim}
+    with open(os.path.join(out_dir, "meta.json"), "w") as fh:
+        json.dump(meta, fh, sort_keys=True)
+
+
+def rp_lsh_topk_indexed(
+    spark,
+    index_dir: str,
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_vec: list[float],
+    k: int = 10,
+    *,
+    max_probe_hamming: int = 2,
+) -> DataFrame:
+    """``rp_lsh_topk`` against a prebuilt signature index: per query, scan
+    ONLY the (vec_id, sig) parquet (no signature UDF), then join the
+    surviving candidate ids back to the vector table for exact scoring.
+
+    The candidate set after the hamming probe is ~C(n_planes, h)/2^n of the
+    corpus, so the join's small side is broadcast and the big vector scan
+    stays id-pruned (at 10^9+ vectors, bucket-partition the vector table by
+    id so the join prunes files too).  Results are identical to rp_lsh_topk
+    with the same constants (pinned by tests).
+    """
+    import json
+    import os
+
+    with open(os.path.join(index_dir, "meta.json")) as fh:
+        meta = json.load(fh)
+    q = np.asarray(query_vec, dtype=np.float64)
+    if meta["dim"] and meta["dim"] != len(q):
+        raise ValueError(f"query dim {len(q)} != indexed dim {meta['dim']}")
+    planes = rp_planes(len(q), meta["n_planes"], meta["seed"])
+    qsig = int(
+        ((planes @ q) > 0).astype(np.int64)
+        @ (1 << np.arange(meta["n_planes"], dtype=np.int64))
+    )
+    sigs = spark.read.parquet(os.path.join(index_dir, "signatures"))
+    cand = sigs.where(
+        F.bit_count(F.col("sig").bitwiseXOR(F.lit(qsig))) <= max_probe_hamming
+    ).select(F.col("vec_id").alias("_cand_id"))  # avoid clashing with id_col
+    probed = vectors.join(
+        F.broadcast(cand), on=F.col(id_col) == F.col("_cand_id"), how="inner"
+    ).select(id_col, vec_col)
+    return cosine_topk(probed, id_col, vec_col, query_vec, k)
