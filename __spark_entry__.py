@@ -375,6 +375,20 @@ def _q_bm25_direct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk.select("doc_id", F.round("score", 5).alias("score"))
 
 
+def _q_bm25_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """search_batch: one-scan multi-query BM25 (both headline term sets in a
+    single job — union-term scan, broadcast membership join, one doc-keyed
+    shuffle, per-query window top-k)."""
+    index = _index_for(spark, sf_dir)
+    topk = index.search_batch([TERMS_OR, TERMS_AND], k=TOPK)
+    ids = index.docmap().select("doc_id", "orig_id")
+    return topk.join(ids, on="doc_id").select(
+        "query_id",
+        F.col("orig_id").alias("doc_id"),
+        F.round("score", 5).alias("score"),
+    )
+
+
 def _q_phrase_match_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact match_phrase hit count off the positional postings (pos_vb)."""
     n = _index_for(spark, sf_dir).phrase_match_count(PHRASE)
@@ -609,6 +623,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_or": _q_bm25_topk_or,
         "bm25_topk_and": _q_bm25_topk_and,
         "bm25_direct_topk": _q_bm25_direct,
+        "bm25_batch_topk": _q_bm25_batch,
         "match_count_or": _q_match_count_or,
         "match_count_and": _q_match_count_and,
         "phrase_match_count": _q_phrase_match_count,
@@ -888,6 +903,12 @@ where lon >= {BBOX['lon_min']} and lon <= {BBOX['lon_max']}
         "bm25_topk_or": _bm25_sql(TERMS_OR, "OR"),
         "bm25_topk_and": _bm25_sql(TERMS_AND, "AND"),
         "bm25_direct_topk": _bm25_sql(TERMS_OR, "OR"),
+        # batch = union of the per-query oracles tagged with query_id
+        "bm25_batch_topk": (
+            "select 0::INT as query_id, * from (" + _bm25_sql(TERMS_OR, "OR") + ") q0\n"
+            "union all\n"
+            "select 1::INT as query_id, * from (" + _bm25_sql(TERMS_AND, "OR") + ") q1"
+        ),
         "match_count_or": _match_count_sql(TERMS_OR, "OR"),
         "match_count_and": _match_count_sql(TERMS_AND, "AND"),
         "phrase_match_count": (

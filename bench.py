@@ -129,6 +129,16 @@ def main() -> None:
     extra["bm25_p95_sec"] = round(sorted(lat)[max(0, int(len(lat) * 0.95) - 1)], 4)
     extra["bm25_mean_sec"] = round(sum(lat) / len(lat), 4)
 
+    # one-scan batched execution of the same 10 queries (search_batch):
+    # union-term scan + broadcast membership join + one doc-keyed shuffle —
+    # amortizes the per-query job overhead the p95 above is dominated by
+    t0 = time.perf_counter()
+    index.search_batch(BM25_QUERY_BATCH, k=10).collect()
+    timings["bm25_batched_onescan"] = round(time.perf_counter() - t0, 4)
+    extra["bm25_batched_per_query_sec"] = round(
+        timings["bm25_batched_onescan"] / len(BM25_QUERY_BATCH), 4
+    )
+
     timed("match_count_and", lambda: index.match_count(["table", "value", "customer"], "AND"))
 
     # 3) geo_point_clustering over derived points (full operator incl merge)
@@ -149,6 +159,9 @@ def main() -> None:
             docs, "text", "doc_id", shingle_k=1, threshold=0.25
         ).count(),
     )
+    # each ngram call persists its shingle/signature frame; drop them so
+    # later queries aren't squeezed by two cached copies
+    spark.catalog.clearCache()
     timed(
         "dedup_simhash_pairs",
         lambda: dedup.simhash_near_pairs(docs, "text", "doc_id").count(),

@@ -313,6 +313,21 @@ def minhash_lsh_pairs(
     return _bucket_pairs(buckets, ["band", "band_key"], max_bucket_size)
 
 
+def dropped_bucket_stats(
+    buckets: DataFrame, bucket_cols: list[str], max_bucket_size: int
+) -> DataFrame:
+    """The buckets a ``max_bucket_size`` cap would DROP: (bucket_cols…, n).
+
+    Pair generators drop oversized buckets silently by design (the standard
+    LSH candidate-then-verify contract: a degenerate mass-duplicate bucket
+    would explode O(n²)); this makes the truncation observable — audit with
+    ``.count()`` or collect the offending keys.  Runs the same groupBy the
+    pair generator's window cap uses, so the answer is exact.
+    """
+    sizes = buckets.groupBy(*bucket_cols).agg(F.count(F.lit(1)).alias("n"))
+    return sizes.where(F.col("n") > max_bucket_size)
+
+
 def _bucket_pairs(
     buckets: DataFrame, bucket_cols: list[str], max_bucket_size: int | None
 ) -> DataFrame:

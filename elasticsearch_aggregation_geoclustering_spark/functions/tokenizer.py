@@ -97,7 +97,9 @@ def doc_term_positions(texts: pd.Series) -> tuple[pd.DataFrame, np.ndarray]:
     return frame, pos[order]
 
 
-def pack_term_frequencies(texts: pd.Series) -> pd.DataFrame:
+def pack_term_frequencies(
+    texts: pd.Series, with_positions: bool = True
+) -> pd.DataFrame:
     """Per-doc packed term frequencies in shuffle-friendly FLAT form.
 
     Returns a DataFrame with one row per input text::
@@ -114,16 +116,24 @@ def pack_term_frequencies(texts: pd.Series) -> pd.DataFrame:
     Arrow serialize and deserialize sides (a list<string> column would
     materialize every token as a Python object twice).  Tokens match
     ``[a-z0-9_]+`` so a single space is an unambiguous separator.
+
+    ``with_positions=False`` (ES ``index_options: freqs``) skips the
+    position computation and omits the ``pos_vb`` column entirely — the
+    packed payload over the shuffle shrinks by roughly the token count.
     """
     from . import codec
 
-    tf, pos_flat = doc_term_positions(texts)
+    if with_positions:
+        tf, pos_flat = doc_term_positions(texts)
+    else:
+        tf = doc_term_frequencies(texts)
     n = len(texts)
     nt = np.zeros(n, dtype=np.int64)
     if tf.empty:
-        return pd.DataFrame(
-            {"terms_blob": [""] * n, "tfs_vb": [b""] * n, "pos_vb": [b""] * n, "n_terms": nt}
-        )
+        cols = {"terms_blob": [""] * n, "tfs_vb": [b""] * n, "n_terms": nt}
+        if with_positions:
+            cols["pos_vb"] = [b""] * n
+        return pd.DataFrame(cols)
     rows = tf["row"].to_numpy(np.int64)
     tf_vals = tf["tf"].to_numpy(np.int64)
     nt = np.bincount(rows, minlength=n).astype(np.int64)
@@ -140,15 +150,15 @@ def pack_term_frequencies(texts: pd.Series) -> pd.DataFrame:
 
     buf, ends = codec.varbyte_encode_all(tf_vals.astype(np.uint64))
     tfs_vb = _slice_per_doc(buf, ends, nt)
-    # positions: delta restart per (doc, term) run; per-doc value count = dl
-    pair_starts = np.concatenate(([0], np.cumsum(tf_vals)[:-1]))
-    pdeltas = codec.segmented_delta_encode(pos_flat.astype(np.uint64), pair_starts)
-    dl = np.bincount(rows, weights=tf_vals, minlength=n).astype(np.int64)
-    pbuf, pends = codec.varbyte_encode_all(pdeltas)
-    pos_vb = _slice_per_doc(pbuf, pends, dl)
-    return pd.DataFrame(
-        {"terms_blob": blobs, "tfs_vb": tfs_vb, "pos_vb": pos_vb, "n_terms": nt}
-    )
+    out = {"terms_blob": blobs, "tfs_vb": tfs_vb, "n_terms": nt}
+    if with_positions:
+        # positions: delta restart per (doc, term) run; per-doc value count = dl
+        pair_starts = np.concatenate(([0], np.cumsum(tf_vals)[:-1]))
+        pdeltas = codec.segmented_delta_encode(pos_flat.astype(np.uint64), pair_starts)
+        dl = np.bincount(rows, weights=tf_vals, minlength=n).astype(np.int64)
+        pbuf, pends = codec.varbyte_encode_all(pdeltas)
+        out["pos_vb"] = _slice_per_doc(pbuf, pends, dl)
+    return pd.DataFrame(out)
 
 
 def packed_term_frequencies(

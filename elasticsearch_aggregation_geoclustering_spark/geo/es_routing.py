@@ -67,12 +67,9 @@ def es_shard_id(doc_id: str, num_shards: int, routing_num_shards: int | None = N
     """The shard the given ``_id`` routes to (default hash routing)."""
     if routing_num_shards is None:
         routing_num_shards = default_routing_num_shards(num_shards)
-    b = bytearray()
-    for ch in doc_id:
-        code = ord(ch)
-        b.append(code & 0xFF)
-        b.append((code >> 8) & 0xFF)
-    h = murmur3_x86_32(bytes(b))
+    # Java serializes each UTF-16 code unit as two little-endian bytes
+    # (surrogate pairs included) — exactly python's utf-16-le encoding
+    h = murmur3_x86_32(doc_id.encode("utf-16-le"))
     if h >= 2**31:
         h -= 2**32  # to Java signed int
     factor = routing_num_shards // num_shards

@@ -68,6 +68,7 @@ from pyspark.sql import functions as F
 from ..functions import codec
 from ..functions.tokenizer import (
     TOKENIZER_VERSION,
+    doc_term_frequencies,
     doc_term_positions,
     pack_term_frequencies,
     packed_term_frequencies,
@@ -325,18 +326,18 @@ def _assign_ids_for_batch(
     return ids
 
 
-def _pack_fn(content_col: str, passthrough: list[str]):
+def _pack_fn(content_col: str, passthrough: list[str], with_positions: bool = True):
     """mapInPandas: tokenize + collapse to flat packed term rows; DROP content."""
+
+    cols = ["terms_blob", "tfs_vb", *(["pos_vb"] if with_positions else []), "n_terms"]
 
     def run(batches):
         for pdf in batches:
             if pdf.empty:
                 continue
-            packed = pack_term_frequencies(pdf[content_col])
+            packed = pack_term_frequencies(pdf[content_col], with_positions)
             out = pdf[passthrough].reset_index(drop=True)
-            out[["terms_blob", "tfs_vb", "pos_vb", "n_terms"]] = packed[
-                ["terms_blob", "tfs_vb", "pos_vb", "n_terms"]
-            ]
+            out[cols] = packed[cols]
             yield out
 
     return run
@@ -348,6 +349,7 @@ def _build_one_segment(
     pdf: pd.DataFrame,
     content_col: str,
     docmap_cols: tuple[str, ...],
+    with_positions: bool = True,
 ) -> dict:
     """Pack one segment; write postings + docmap part atomically; return the
     manifest/lineage dict.  Shared by the interior (in-partition) and
@@ -363,11 +365,20 @@ def _build_one_segment(
     doc_ids = pdf["doc_id"].to_numpy(np.int64)
 
     if "terms_blob" in pdf.columns:
-        tf_frame, pos_flat = packed_term_frequencies(
-            pdf["terms_blob"], pdf["tfs_vb"], pdf["n_terms"], pdf["pos_vb"]
-        )
-    else:
+        if with_positions:
+            tf_frame, pos_flat = packed_term_frequencies(
+                pdf["terms_blob"], pdf["tfs_vb"], pdf["n_terms"], pdf["pos_vb"]
+            )
+        else:
+            tf_frame = packed_term_frequencies(
+                pdf["terms_blob"], pdf["tfs_vb"], pdf["n_terms"]
+            )
+            pos_flat = np.empty(0, dtype=np.int64)
+    elif with_positions:
         tf_frame, pos_flat = doc_term_positions(pdf[content_col])
+    else:
+        tf_frame = doc_term_frequencies(pdf[content_col])
+        pos_flat = np.empty(0, dtype=np.int64)
     dl_by_row = np.zeros(len(pdf), dtype=np.int64)
     if not tf_frame.empty:
         np.add.at(dl_by_row, tf_frame["row"].to_numpy(np.int64), tf_frame["tf"].to_numpy(np.int64))
@@ -400,19 +411,25 @@ def _build_one_segment(
         tf_vals = term_sorted["tf"].to_numpy(np.int64)
         ids_all = doc_ids[row_idx]
         dls_all = dl_by_row[row_idx]
-        # permute the flat positions into postings order: gather each pair's
-        # position run via one repeat+arange fancy index (no per-pair loop)
-        lens_orig = tf_frame["tf"].to_numpy(np.int64)
-        starts_orig = np.concatenate(([0], np.cumsum(lens_orig)[:-1]))
-        lens_p = lens_orig[perm]
-        pair_pos_starts = np.concatenate(([0], np.cumsum(lens_p)[:-1]))
-        n_pos = int(lens_p.sum())
-        gather = (
-            np.repeat(starts_orig[perm] - pair_pos_starts, lens_p)
-            + np.arange(n_pos, dtype=np.int64)
-        )
-        pos_sorted = pos_flat[gather]
-        pos_starts = pair_pos_starts[starts]  # per-TERM run starts in position space
+        if with_positions:
+            # permute the flat positions into postings order: gather each
+            # pair's position run via one repeat+arange fancy index
+            lens_orig = tf_frame["tf"].to_numpy(np.int64)
+            starts_orig = np.concatenate(([0], np.cumsum(lens_orig)[:-1]))
+            lens_p = lens_orig[perm]
+            pair_pos_starts = np.concatenate(([0], np.cumsum(lens_p)[:-1]))
+            n_pos = int(lens_p.sum())
+            gather = (
+                np.repeat(starts_orig[perm] - pair_pos_starts, lens_p)
+                + np.arange(n_pos, dtype=np.int64)
+            )
+            pos_sorted = pos_flat[gather]
+            pos_starts = pair_pos_starts[starts]  # per-TERM run starts
+        else:
+            # index_options=freqs: every pos_vb cell is the empty byte string
+            pos_sorted = np.empty(0, dtype=np.int64)
+            pair_pos_starts = np.empty(0, dtype=np.int64)
+            pos_starts = np.zeros(len(terms_u), dtype=np.int64)
 
     # all binary columns come out of one vectorized encode each; position
     # deltas restart per (term, doc) pair, and the binary cells slice per term
@@ -453,11 +470,18 @@ def _build_one_segment(
     }
 
 
-def _build_segment_fn(index_dir: str, content_col: str, docmap_cols: tuple[str, ...]):
+def _build_segment_fn(
+    index_dir: str,
+    content_col: str,
+    docmap_cols: tuple[str, ...],
+    with_positions: bool = True,
+):
     """applyInPandas wrapper over _build_one_segment (the fragment path)."""
 
     def build(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        meta = _build_one_segment(index_dir, int(key[0]), pdf, content_col, docmap_cols)
+        meta = _build_one_segment(
+            index_dir, int(key[0]), pdf, content_col, docmap_cols, with_positions
+        )
         return pd.DataFrame([meta])
 
     return build
@@ -470,6 +494,7 @@ def _partition_builder_fn(
     content_col: str,
     docmap_cols: tuple[str, ...],
     done: frozenset[int],
+    with_positions: bool = True,
 ):
     """mapInPandas builder: assign ids in-stream (per-bucket counters), build
     every segment FULLY CONTAINED in this partition in place (writing
@@ -512,7 +537,8 @@ def _partition_builder_fn(
                 if complete_here:
                     if sid not in done:
                         meta = _build_one_segment(
-                            index_dir, sid, chunk, content_col, docmap_cols
+                            index_dir, sid, chunk, content_col, docmap_cols,
+                            with_positions,
                         )
                         seg_store.save_manifest_part(index_dir, meta)
                 elif seg_start < base or force_tail:
@@ -560,8 +586,17 @@ def build_index(
     num_partitions: int | None = None,
     pack_before_shuffle: bool = False,
     n_docs_hint: int | None = None,
+    index_options: str = "positions",
 ) -> dict:
     """Build (or resume) the inverted index; returns the stats dict.
+
+    ``index_options`` mirrors the ES mapping setting of the same name:
+    ``"positions"`` (the Lucene text-field default) stores token positions
+    per posting (pos_vb), enabling phrase/proximity queries; ``"freqs"``
+    omits them — segments and the (pack-mode) shuffle payload shrink by
+    roughly the token count, and phrase queries raise, exactly as ES errors
+    on a field "indexed without position data".  A resumed build keeps the
+    original index's setting.
 
     ``docmap_cols``: extra columns carried into the docmap table (e.g. lang,
     lon, lat) for query-time joins.  The docmap also records
@@ -581,10 +616,14 @@ def build_index(
       a real multi-executor cluster where the shuffle crosses a network and
       content bytes dominate the wire.
     """
+    if index_options not in ("positions", "freqs"):
+        raise ValueError(f"index_options must be positions|freqs: {index_options}")
     os.makedirs(index_dir, exist_ok=True)
     manifest = load_manifest(index_dir) if resume else None
     if manifest is not None:
         docs_per_segment = manifest.docs_per_segment
+        index_options = manifest.index_options
+    with_positions = index_options == "positions"
 
     num_partitions = num_partitions or spark.sparkContext.defaultParallelism
 
@@ -605,6 +644,7 @@ def build_index(
             docs_per_segment=docs_per_segment,
             tokenizer_version=TOKENIZER_VERSION,
             num_segments_expected=(n_docs + docs_per_segment - 1) // docs_per_segment,
+            index_options=index_options,
         )
         save_manifest(index_dir, manifest)
 
@@ -632,12 +672,13 @@ def build_index(
             "sha256", F.sha2(F.col(content_col).cast("binary"), 256)
         )
         if pack_before_shuffle:
+            pos_field = ["pos_vb binary"] if with_positions else []
             pack_schema = ", ".join(
                 [f"`{n}` {t}" for n, t in work.drop(content_col).dtypes]
-                + ["terms_blob string", "tfs_vb binary", "pos_vb binary", "n_terms long"]
+                + ["terms_blob string", "tfs_vb binary", *pos_field, "n_terms long"]
             )
             work = work.mapInPandas(
-                _pack_fn(content_col, [*dm_cols, "sha256"]), pack_schema
+                _pack_fn(content_col, [*dm_cols, "sha256"], with_positions), pack_schema
             )
         ranged = (
             work.withColumn("_b", bexpr)
@@ -651,7 +692,8 @@ def build_index(
         )
         frags = ranged.mapInPandas(
             _partition_builder_fn(
-                index_dir, offsets, docs_per_segment, content_col, dm_cols, done
+                index_dir, offsets, docs_per_segment, content_col, dm_cols, done,
+                with_positions,
             ),
             frag_schema,
         )
@@ -661,7 +703,7 @@ def build_index(
         frag_rows = (
             frags.groupBy("seg_id")
             .applyInPandas(
-                _build_segment_fn(index_dir, content_col, dm_cols),
+                _build_segment_fn(index_dir, content_col, dm_cols, with_positions),
                 SEGMENT_MANIFEST_SPARK_SCHEMA,
             )
             .collect()
@@ -702,6 +744,7 @@ def build_index(
         "avgdl": (total_tokens / n_docs_total) if n_docs_total else 0.0,
         "n_segments": len(manifest.segments),
         "tokenizer_version": manifest.tokenizer_version,
+        "index_options": manifest.index_options,
     }
     save_stats(index_dir, stats)
     return stats
@@ -754,6 +797,7 @@ def append_index(
             n_docs_hint=n_docs_hint,
         )
     docs_per_segment = manifest.docs_per_segment
+    with_positions = manifest.index_options == "positions"
     num_partitions = num_partitions or spark.sparkContext.defaultParallelism
 
     n_new = n_docs_hint if n_docs_hint is not None else docs.select(*key_cols).count()
@@ -854,11 +898,14 @@ def append_index(
         "sha256", F.sha2(F.col(content_col).cast("binary"), 256)
     )
     if pack_before_shuffle:
+        pos_field = ["pos_vb binary"] if with_positions else []
         pack_schema = ", ".join(
             [f"`{n}` {t}" for n, t in work.drop(content_col).dtypes]
-            + ["terms_blob string", "tfs_vb binary", "pos_vb binary", "n_terms long"]
+            + ["terms_blob string", "tfs_vb binary", *pos_field, "n_terms long"]
         )
-        work = work.mapInPandas(_pack_fn(content_col, [*dm_cols, "sha256"]), pack_schema)
+        work = work.mapInPandas(
+            _pack_fn(content_col, [*dm_cols, "sha256"], with_positions), pack_schema
+        )
     ranged = (
         work.withColumn("_b", bexpr)
         .repartitionByRange(num_partitions, "_b")
@@ -871,14 +918,15 @@ def append_index(
     )
     frags = ranged.mapInPandas(
         _partition_builder_fn(
-            index_dir, offsets, docs_per_segment, content_col, dm_cols, done
+            index_dir, offsets, docs_per_segment, content_col, dm_cols, done,
+            with_positions,
         ),
         frag_schema,
     )
     frag_rows = (
         frags.groupBy("seg_id")
         .applyInPandas(
-            _build_segment_fn(index_dir, content_col, dm_cols),
+            _build_segment_fn(index_dir, content_col, dm_cols, with_positions),
             SEGMENT_MANIFEST_SPARK_SCHEMA,
         )
         .collect()
@@ -907,6 +955,7 @@ def append_index(
         "avgdl": (total_tokens / n_docs_total) if n_docs_total else 0.0,
         "n_segments": len(manifest.segments),
         "tokenizer_version": manifest.tokenizer_version,
+        "index_options": manifest.index_options,
     }
     save_stats(index_dir, stats)
     return stats
@@ -1034,6 +1083,15 @@ def merge_segments(
             # merged positional list (boundaries recovered from the
             # concatenated tfs) — no decode/re-encode needed
             pos_vb = b"".join(pdf["pos_vb"])
+        elif not any(len(b) for b in pdf["pos_vb"]):
+            # index_options=freqs: no positions to filter
+            mask = ~np.isin(ids.astype(np.int64), deleted_bc.value)
+            ids, tfs, dls = ids[mask], tfs[mask], dls[mask]
+            if ids.size == 0:
+                return pd.DataFrame(
+                    [], columns=["term", "seg_id", "df", "doc_ids_vb", "tfs_vb", "dls_vb", "pos_vb"]
+                )
+            pos_vb = b""
         else:
             mask = ~np.isin(ids.astype(np.int64), deleted_bc.value)
             pdeltas = codec.varbyte_decode(b"".join(pdf["pos_vb"]))
@@ -1124,5 +1182,6 @@ def merge_segments(
             "avgdl": (total_tokens / n_docs) if n_docs else 0.0,
             "n_segments": n_buckets,
             "tokenizer_version": old_stats["tokenizer_version"],
+            "index_options": old_stats.get("index_options", "positions"),
         },
     )

@@ -122,6 +122,7 @@ class InvertedIndex:
     index_dir: str
     n_docs: int
     avgdl: float
+    index_options: str = "positions"
     _df_cache: dict | None = None
     _df_cache_checked: bool = False
     _deletes_checked: bool = False
@@ -130,7 +131,13 @@ class InvertedIndex:
     @classmethod
     def open(cls, spark: SparkSession, index_dir: str) -> "InvertedIndex":
         stats = load_stats(index_dir)
-        return cls(spark=spark, index_dir=index_dir, n_docs=stats["n_docs"], avgdl=stats["avgdl"])
+        return cls(
+            spark=spark,
+            index_dir=index_dir,
+            n_docs=stats["n_docs"],
+            avgdl=stats["avgdl"],
+            index_options=stats.get("index_options", "positions"),
+        )
 
     # --- raw layers -----------------------------------------------------
 
@@ -168,6 +175,14 @@ class InvertedIndex:
         posting cell.  Row volume is Σ tf over the query terms only (the
         posting scan is term-pruned), never the whole index.
         """
+        if self.index_options != "positions":
+            # same failure mode as ES: phrase/proximity on a field indexed
+            # without position data is an error, not a wrong answer
+            raise ValueError(
+                "index was built with index_options="
+                f"{self.index_options!r}; positional queries need "
+                "build_index(index_options='positions')"
+            )
         pruned = self.postings(terms).select(
             "term", "doc_ids_vb", "tfs_vb", "dls_vb", "pos_vb"
         )
@@ -282,6 +297,86 @@ class InvertedIndex:
         if mode.upper() == "AND":
             agg = agg.where(F.col("_nterms") == len(terms))
         return agg.select("doc_id", "score").orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    def search_batch(
+        self,
+        queries: list[list[str]],
+        k: int = 10,
+        mode: str = "OR",
+        params: bm25.Bm25Params = bm25.Bm25Params(),
+    ) -> DataFrame:
+        """Top-k for a whole query batch in ONE scan and ONE doc-keyed
+        shuffle: DataFrame (query_id, doc_id, score), ≤ k rows per query.
+
+        Per-query ``search()`` pays a full Spark job per query — the p95
+        driver for a query workload.  Here the posting scan prunes to the
+        UNION of all queries' terms, a broadcast (term, query_id) membership
+        join fans each decoded row into the queries that use it, and scores
+        fold per (query, doc) in sorted-term order — bit-identical to
+        ``search()`` for every query (pinned by tests).  The final per-query
+        top-k is a window ``row_number`` over (query_id): its sort is
+        disk-spillable and parallelism is #queries — at very large batch ×
+        corpus products, pre-truncate per partition (salt the window key)
+        before the global one.
+
+        query_id is the position of the query in ``queries``.
+        """
+        spark = self.spark
+        norm_qs = [sorted(set(q)) for q in queries]
+        all_terms = sorted({t for q in norm_qs for t in q})
+        empty = spark.createDataFrame([], "query_id int, doc_id long, score double")
+        if not all_terms:
+            return empty
+        df_map = self.df_of(all_terms)
+        idfs = bm25.idf_map(self.n_docs, df_map)
+        live_terms = [t for t in all_terms if t in df_map]
+        if not live_terms:
+            return empty
+        rows = self._live(self.term_doc_rows(live_terms, params.lucene_norms))
+        membership = spark.createDataFrame(
+            [(qid, t) for qid, q in enumerate(norm_qs) for t in q if t in df_map],
+            "query_id int, term string",
+        )
+        joined = rows.join(F.broadcast(membership), on="term")
+
+        idf_expr: Column = F.element_at(
+            F.create_map(*[F.lit(x) for t in idfs for x in (t, idfs[t])]), F.col("term")
+        )
+        tf_d = F.col("tf").cast("double")
+        dl_d = F.col("dl").cast("double")
+        denom = tf_d + F.lit(params.k1) * (
+            F.lit(1.0) - F.lit(params.b) + F.lit(params.b) * dl_d / F.lit(self.avgdl)
+        )
+        scored = joined.select(
+            "query_id", "doc_id", "term", (idf_expr * (tf_d / denom)).alias("score")
+        )
+        agg = scored.groupBy("query_id", "doc_id").agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("term", "score"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["score"],
+            ).alias("score"),
+            F.count(F.lit(1)).alias("_nterms"),
+        )
+        if mode.upper() == "AND":
+            # per-query required term count (queries whose terms are partly
+            # unindexed can never satisfy AND; matching search(), which
+            # compares against the FULL term count)
+            qlen = F.element_at(
+                F.create_map(
+                    *[F.lit(x) for qid, q in enumerate(norm_qs) for x in (qid, len(q))]
+                ),
+                F.col("query_id"),
+            )
+            agg = agg.where(F.col("_nterms") == qlen)
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+        return (
+            agg.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= k)
+            .select("query_id", "doc_id", "score")
+        )
 
     def _phrase_occurrences(
         self, phrase: list[str], lucene_norms: bool = False

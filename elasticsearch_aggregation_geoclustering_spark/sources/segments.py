@@ -80,6 +80,10 @@ class IndexManifest:
     docs_per_segment: int
     tokenizer_version: str
     num_segments_expected: int
+    #: ES mapping index_options: "positions" (default, Lucene text default)
+    #: stores token positions per posting; "freqs" omits them (phrase
+    #: queries unavailable, smaller segments + shuffle payload)
+    index_options: str = "positions"
     segments: dict[str, dict] = field(default_factory=dict)  # seg_id -> SegmentMeta dict
     #: append ledger: one entry per append batch, keyed by a cheap exact
     #: batch fingerprint {n_docs, min_key, max_key, base_sid} — a replayed or
@@ -108,6 +112,7 @@ def load_manifest(index_dir: str) -> IndexManifest | None:
         docs_per_segment=raw["docs_per_segment"],
         tokenizer_version=raw["tokenizer_version"],
         num_segments_expected=raw["num_segments_expected"],
+        index_options=raw.get("index_options", "positions"),
         segments=raw.get("segments", {}),
         appends=raw.get("appends", []),
     )

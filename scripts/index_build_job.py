@@ -41,6 +41,10 @@ def main() -> None:
     ap.add_argument("--docs-per-segment", type=int, default=2048)
     ap.add_argument("--num-partitions", type=int, default=None)
     ap.add_argument("--pack", action="store_true", help="pack_before_shuffle mode")
+    ap.add_argument(
+        "--index-options", default="positions", choices=["positions", "freqs"],
+        help="ES mapping index_options: store token positions or only freqs",
+    )
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     args = ap.parse_args()
 
@@ -86,6 +90,7 @@ def main() -> None:
             n_docs_hint=n_docs,
             num_partitions=args.num_partitions,
             pack_before_shuffle=args.pack,
+            index_options=args.index_options,
         )
         wall = time.perf_counter() - t0
         print(

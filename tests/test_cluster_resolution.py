@@ -95,3 +95,15 @@ def test_cell_expr_out_of_range_raises(spark):
     # NULL coordinates propagate (absent, not invalid)
     nul = spark.createDataFrame([(None, 10.0)], "lon double, lat double")
     assert nul.select(cell_expr(F.col("lon"), F.col("lat"), 9).alias("c")).collect()[0]["c"] is None
+
+
+def test_dropped_bucket_stats_observability(spark):
+    # the cap's truncation is observable: dropped_bucket_stats reports the
+    # exact buckets (and sizes) a given cap would drop
+    from pyspark.sql import functions as F
+
+    rows = [(i, "bucket_a" if i < 8 else "bucket_b") for i in range(10)]
+    buckets = spark.createDataFrame(rows, "doc_id long, band_key string")
+    dropped = dedup.dropped_bucket_stats(buckets, ["band_key"], 5).collect()
+    assert [(r["band_key"], r["n"]) for r in dropped] == [("bucket_a", 8)]
+    assert dedup.dropped_bucket_stats(buckets, ["band_key"], 100).count() == 0

@@ -1,0 +1,109 @@
+"""index_options="freqs" vs "positions" (the ES mapping setting)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pytest
+
+from elasticsearch_aggregation_geoclustering_spark.plans.index_build import (
+    build_index,
+    merge_segments,
+)
+from elasticsearch_aggregation_geoclustering_spark.plans.query import InvertedIndex
+
+DOCS = [
+    (0, "alpha beta gamma alpha"),
+    (1, "beta beta delta"),
+    (2, "gamma delta epsilon alpha"),
+    (3, ""),
+    (4, "alpha beta"),
+]
+
+
+def _build(spark, **kw):
+    d = tempfile.mkdtemp(prefix="idxopt_")
+    docs = spark.createDataFrame(DOCS, "orig_id long, text string")
+    build_index(
+        spark, docs, d, content_col="text", key_cols=("orig_id",),
+        docs_per_segment=2, **kw,
+    )
+    return d
+
+
+@pytest.mark.parametrize("pack", [False, True])
+def test_freqs_matches_positions_for_term_queries(spark, pack):
+    dp = _build(spark, index_options="positions", pack_before_shuffle=pack)
+    df_ = _build(spark, index_options="freqs", pack_before_shuffle=pack)
+    try:
+        a, b = InvertedIndex.open(spark, dp), InvertedIndex.open(spark, df_)
+        assert b.index_options == "freqs"
+        # identical stats and identical BM25 results — positions change
+        # nothing about term-level scoring
+        assert (a.n_docs, a.avgdl) == (b.n_docs, b.avgdl)
+        ra = [(r["doc_id"], r["score"]) for r in a.search(["alpha", "beta"], k=10).collect()]
+        rb = [(r["doc_id"], r["score"]) for r in b.search(["alpha", "beta"], k=10).collect()]
+        assert ra == rb
+        assert a.match_count(["beta"]) == b.match_count(["beta"]) == 3
+        # positions work on one, error loudly on the other (ES behavior)
+        assert a.phrase_match_count(["alpha", "beta"]) == 2  # docs 0(via a b?), 4
+        with pytest.raises(ValueError, match="index_options"):
+            b.phrase_match_count(["alpha", "beta"])
+    finally:
+        shutil.rmtree(dp, ignore_errors=True)
+        shutil.rmtree(df_, ignore_errors=True)
+
+
+def test_freqs_segments_smaller(spark):
+    dp = _build(spark, index_options="positions")
+    df_ = _build(spark, index_options="freqs")
+    try:
+        def seg_bytes(d):
+            total = 0
+            for root, _dirs, files in os.walk(os.path.join(d, "segments")):
+                total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+            return total
+
+        assert seg_bytes(df_) < seg_bytes(dp)
+    finally:
+        shutil.rmtree(dp, ignore_errors=True)
+        shutil.rmtree(df_, ignore_errors=True)
+
+
+def test_freqs_merge_roundtrip(spark):
+    d = _build(spark, index_options="freqs")
+    out = tempfile.mkdtemp(prefix="idxoptm_")
+    try:
+        merge_segments(spark, d, out, fanin=8)
+        merged = InvertedIndex.open(spark, out)
+        assert merged.index_options == "freqs"
+        src = InvertedIndex.open(spark, d)
+        assert merged.match_count(["alpha"]) == src.match_count(["alpha"]) == 3
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def test_resume_keeps_index_options(spark):
+    d = _build(spark, index_options="freqs")
+    try:
+        docs = spark.createDataFrame(DOCS, "orig_id long, text string")
+        # re-entering the build with a different request keeps the original
+        stats = build_index(
+            spark, docs, d, content_col="text", key_cols=("orig_id",),
+            docs_per_segment=2, index_options="positions",
+        )
+        assert stats["index_options"] == "freqs"
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_invalid_option_rejected(spark):
+    docs = spark.createDataFrame(DOCS, "orig_id long, text string")
+    with pytest.raises(ValueError, match="index_options"):
+        build_index(
+            spark, docs, tempfile.mkdtemp(), content_col="text",
+            key_cols=("orig_id",), index_options="offsets",
+        )

@@ -1,0 +1,93 @@
+"""search_batch: one-scan multi-query BM25 must be bit-identical to search()."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+
+from elasticsearch_aggregation_geoclustering_spark.plans.index_build import (
+    build_index,
+    delete_docs,
+)
+from elasticsearch_aggregation_geoclustering_spark.plans.query import InvertedIndex
+
+DOCS = [
+    (0, "spark window merge table value"),
+    (1, "table value customer join hash"),
+    (2, "spark spark spark merge"),
+    (3, "window window value"),
+    (4, "customer hash join join join"),
+    (5, "merge table spark window"),
+    (6, ""),
+    (7, "value value value value table"),
+]
+
+QUERIES = [
+    ["spark", "window", "merge"],
+    ["table", "value", "customer"],
+    ["join", "hash"],
+    ["spark"],
+    ["zebra", "spark"],  # partly unindexed
+    ["zebra"],  # fully unindexed
+]
+
+
+@pytest.fixture(scope="module")
+def index(spark):
+    d = tempfile.mkdtemp(prefix="batchidx_")
+    docs = spark.createDataFrame(DOCS, "orig_id long, text string")
+    build_index(
+        spark, docs, d, content_col="text", key_cols=("orig_id",), docs_per_segment=3
+    )
+    yield InvertedIndex.open(spark, d)
+    shutil.rmtree(d, ignore_errors=True)
+
+
+@pytest.mark.parametrize("mode", ["OR", "AND"])
+def test_batch_matches_per_query(spark, index, mode):
+    batch = {
+        r["query_id"]: []
+        for r in spark.createDataFrame([(i,) for i in range(len(QUERIES))], "query_id int").collect()
+    }
+    got = index.search_batch(QUERIES, k=5, mode=mode).collect()
+    for r in got:
+        batch.setdefault(r["query_id"], []).append((r["doc_id"], r["score"]))
+    for qid, terms in enumerate(QUERIES):
+        want = [
+            (r["doc_id"], r["score"])
+            for r in index.search(terms, k=5, mode=mode).collect()
+        ]
+        have = sorted(batch.get(qid, []), key=lambda t: (-t[1], t[0]))
+        assert have == want, (qid, terms, mode)  # bit-identical scores
+
+
+def test_batch_empty_queries(spark, index):
+    assert index.search_batch([], k=5).count() == 0
+    assert index.search_batch([["zebra"], []], k=5).count() == 0
+
+
+def test_batch_respects_deletes(spark, index):
+    # tombstones must mask batch results exactly as they mask search()
+    d = tempfile.mkdtemp(prefix="batchdel_")
+    try:
+        docs = spark.createDataFrame(DOCS, "orig_id long, text string")
+        build_index(
+            spark, docs, d, content_col="text", key_cols=("orig_id",),
+            docs_per_segment=3,
+        )
+        idx = InvertedIndex.open(spark, d)
+        victim = [
+            r["doc_id"] for r in idx.docmap().where("orig_id = 2").collect()
+        ]
+        delete_docs(spark, d, victim)
+        idx2 = InvertedIndex.open(spark, d)
+        got = idx2.search_batch([["spark"]], k=10).collect()
+        want = idx2.search(["spark"], k=10).collect()
+        assert [(r["doc_id"], r["score"]) for r in sorted(got, key=lambda r: -r["score"])] == [
+            (r["doc_id"], r["score"]) for r in want
+        ]
+        assert all(r["doc_id"] not in victim for r in got)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
