@@ -134,9 +134,14 @@ def _minhash_arrow_fn(
     batch (template-heavy corpora repeat shingles heavily), and the 16 mins
     come from np.minimum.reduceat over per-doc segments — no per-row Python
     beyond the tokenizer itself.  ``with_sets`` adds the distinct shingle
-    list itself as an ``sset`` column (first-occurrence order, same contents
-    as ``word_shingles``) so candidate-then-verify pipelines can persist ONE
-    frame instead of replaying the tokenize lineage per consumer."""
+    set as an ``sset`` column of the 60-bit md5 shingle HASHES (the same
+    values the signature permutations consume, first-occurrence order) so
+    candidate-then-verify pipelines can persist ONE frame instead of
+    replaying the tokenize lineage per consumer.  Hashes, not strings:
+    Jaccard over distinct-shingle hashes equals Jaccard over the shingles
+    themselves (md5-60bit collisions are ~1e-13 per pair), and an
+    array<long> column is several times cheaper than array<string> through
+    Arrow, the persist, and the set-intersection comparators."""
     import hashlib
 
     import numpy as np
@@ -190,7 +195,13 @@ def _minhash_arrow_fn(
                 }
             )
             if with_sets:
-                out["sset"] = [sh for sh, k in zip(doc_shingles, keep) if k]
+                occ = hv[inv]
+                cum = np.cumsum(counts)
+                out["sset"] = [
+                    occ[c - n : c].tolist()
+                    for c, n, k in zip(cum, counts, keep)
+                    if k
+                ]
             yield out
 
     return run
@@ -625,7 +636,7 @@ def ngram_jaccard_pairs_minhash(
     coeffs = minhash_coefficients(num_hashes, seed)
     base = df.select(id_col, text_col).mapInPandas(
         _minhash_arrow_fn(coeffs, text_col, id_col, shingle_k, with_sets=True),
-        "doc_id long, sig array<long>, sset array<string>",
+        "doc_id long, sig array<long>, sset array<long>",
     )
     from pyspark import StorageLevel
 
