@@ -232,16 +232,30 @@ def _rank_plan(
     dtypes = dict(df.dtypes)
     enc = _encoded_key_expr(key_cols, dtypes)
     int_cols = [c for c in key_cols if dtypes[c] in _INT_TYPES]
+    str_cols = [c for c in key_cols if dtypes[c] not in _INT_TYPES]
+    # a NUL inside a key string would collide with the encoding's column
+    # separator (breaking tuple-order monotonicity) — detect in the same agg
+    nul_checks = [F.instr(F.col(c).cast("string"), "\x00") for c in str_cols]
+    if not nul_checks:
+        nul_probe = F.lit(0)
+    elif len(nul_checks) == 1:
+        nul_probe = F.max(nul_checks[0])
+    else:
+        nul_probe = F.max(F.greatest(*nul_checks))
     row = df.agg(
         F.count(F.lit(1)).alias("_n"),
         F.min(enc).alias("_min"),
         F.max(enc).alias("_max"),
+        nul_probe.alias("_nul"),
         *[F.min(F.col(c)).alias(f"_imin_{c}") for c in int_cols],
     ).collect()[0]
     n_docs = int(row["_n"])
     if n_docs == 0:
         return F.lit(0).cast("int"), {}, 0
-    if any(row[f"_imin_{c}"] is not None and row[f"_imin_{c}"] < 0 for c in int_cols):
+    needs_fallback = (row["_nul"] or 0) > 0 or any(
+        row[f"_imin_{c}"] is not None and row[f"_imin_{c}"] < 0 for c in int_cols
+    )
+    if needs_fallback:
         bounds = _sample_key_boundaries(df, key_cols, n_docs, 2 * num_partitions)
         bexpr = _bucket_column(key_cols, bounds, dtypes)
         counts = {

@@ -86,3 +86,50 @@ def test_rank_plan_counts_match_exactly(spark):
         for r in df.select(bexpr.alias("_b")).groupBy("_b").agg(F.count(F.lit(1)).alias("c")).collect()
     }
     assert got == counts
+
+
+def test_rank_plan_property_random_keys(spark):
+    """Property: doc_id == exact global key rank for adversarial key sets
+    (long shared prefixes, unicode, empty strings, mixed int columns)."""
+    from hypothesis import given, settings, strategies as st
+
+    key_st = st.tuples(
+        st.text(
+            alphabet=st.characters(blacklist_categories=("Cs",), max_codepoint=0x2FFF),
+            max_size=12,
+        ),
+        st.integers(min_value=0, max_value=2**40),
+    )
+
+    @settings(max_examples=5, deadline=None)
+    @given(st.lists(key_st, min_size=1, max_size=60, unique=True))
+    def check(keys):
+        rows = [(s, n) for s, n in keys]
+        df = spark.createDataFrame(rows, "repo string, version long")
+        out = assign_doc_ids(df, ("repo", "version"), num_partitions=3).collect()
+        got = {(r["repo"], r["version"]): r["doc_id"] for r in out}
+        want = {k: i for i, k in enumerate(sorted(got))}
+        assert got == want
+
+    check()
+
+
+def test_rank_plan_shared_prefix_beyond_proxy(spark):
+    # keys identical through byte 40, diverging only afterwards: the fine
+    # proxy collapses to few buckets (imbalance) but ranks stay exact
+    base = "github.com/organization/monorepo/src/deep/"
+    rows = [(base + f"{i:03d}.py",) for i in range(50)]
+    df = spark.createDataFrame(rows, "path string")
+    out = assign_doc_ids(df, ("path",), num_partitions=4).collect()
+    got = sorted((r["path"], r["doc_id"]) for r in out)
+    assert [d for _p, d in got] == list(range(50))
+
+
+def test_nul_in_key_falls_back(spark):
+    # NUL collides with the encoding separator; must still rank exactly
+    rows = [("a\x00b", 1), ("a", 99), ("a\x00", 0), ("b", 2), ("", 5)]
+    df = spark.createDataFrame(rows, "repo string, version long")
+    out = assign_doc_ids(df, ("repo", "version"), num_partitions=3).collect()
+    got = {(r["repo"], r["version"]): r["doc_id"] for r in out}
+    want = {k: i for i, k in enumerate(sorted(got))}
+    assert got == want
