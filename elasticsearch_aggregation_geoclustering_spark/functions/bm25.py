@@ -21,7 +21,6 @@ Ties are broken by ascending docID everywhere.
 
 from __future__ import annotations
 
-import math
 from dataclasses import dataclass
 
 import numpy as np
