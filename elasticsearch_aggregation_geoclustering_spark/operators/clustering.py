@@ -405,7 +405,12 @@ def _cell_aggregate_es(
     )
     # cell keys from the QUANTIZED coords — the reference encodes from the
     # decoded doc_values, not the raw source
-    base = geohash_expr.with_cell_column(base, "_qlon", "_qlat", plan.precision, "cell")
+    if plan.precision <= 11:
+        base = geohash_expr.with_cell_column(base, "_qlon", "_qlat", plan.precision, "cell")
+    else:  # max zoom: level-12 keys pack bit 63, Arrow/numpy path
+        base = base.withColumn(
+            "cell", cell_column(F.col("_qlon"), F.col("_qlat"), plan.precision)
+        )
 
     def assoc(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["_shard", "_ord"], kind="stable")

@@ -120,3 +120,31 @@ def test_single_shard_matches_exact_mode_counts(spark, paris_sharded):
     ):
         assert a.lat == pytest.approx(b.lat, abs=1e-6)
         assert a.lon == pytest.approx(b.lon, abs=1e-6)
+
+
+def test_zoom11_bucket_structure(spark, paris_sharded):
+    # the YAML zoom-11 scenario asserts 9 buckets with the top-by-key bucket
+    # counts 1 and 2 (no exact centroids); es_association reproduces the
+    # bucket structure too
+    res = geo_point_clustering(
+        paris_sharded, "lon", "lat", zoom=11,
+        es_association=True, shard_col="shard", order_col="doc_id",
+    )
+    assert len(res.clusters) == 9
+    by_key_desc = sorted(res.clusters, key=lambda c: c.cell, reverse=True)
+    assert by_key_desc[0].doc_count == 1
+    assert by_key_desc[1].doc_count == 2
+    assert sum(c.doc_count for c in res.clusters) == 15
+
+
+def test_zoom25_and_zoom0_structure(spark, paris_sharded):
+    r25 = geo_point_clustering(
+        paris_sharded, "lon", "lat", zoom=25,
+        es_association=True, shard_col="shard", order_col="doc_id",
+    )
+    assert len(r25.clusters) == 15  # max precision: every point its own bucket
+    r0 = geo_point_clustering(
+        paris_sharded, "lon", "lat", zoom=0,
+        es_association=True, shard_col="shard", order_col="doc_id",
+    )
+    assert len(r0.clusters) == 1 and r0.clusters[0].doc_count == 15
