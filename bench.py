@@ -191,6 +191,12 @@ def main() -> None:
         alat.append(time.perf_counter() - tq)
     timings["ann_lsh_indexed_batch"] = round(time.perf_counter() - t0, 4)
     extra["ann_indexed_mean_sec"] = round(sum(alat) / len(alat), 4)
+    # same 8 probes as ONE job (literal signature array + single window)
+    t0 = time.perf_counter()
+    similarity.rp_lsh_topk_indexed_batch(
+        spark, sig_dir, emb, "vec_id", "embedding", qbatch, 10
+    ).collect()
+    timings["ann_lsh_batched_onescan"] = round(time.perf_counter() - t0, 4)
     shutil.rmtree(sig_dir, ignore_errors=True)
 
     timed(

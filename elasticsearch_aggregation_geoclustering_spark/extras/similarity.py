@@ -354,3 +354,90 @@ def rp_lsh_topk_indexed(
         F.broadcast(cand), on=F.col(id_col) == F.col("_cand_id"), how="inner"
     ).select(id_col, vec_col)
     return cosine_topk(probed, id_col, vec_col, query_vec, k)
+
+
+def rp_lsh_topk_indexed_batch(
+    spark,
+    index_dir: str,
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_vecs: list[list[float]],
+    k: int = 10,
+    *,
+    max_probe_hamming: int = 2,
+) -> DataFrame:
+    """A whole probe batch in ONE job: (query_id, vec_id, cosine), ≤ k rows
+    per query — per-query results identical to ``rp_lsh_topk_indexed``.
+
+    Per-query execution pays a full Spark job per probe (the latency driver
+    for a query workload).  Here the query signatures fold into ONE literal
+    array; each signature row filters that array with a JVM higher-order
+    ``filter`` (Q comparisons per row, Q = batch size ≤ tens) and explodes
+    ONLY its matches — so the signature table scans once and the explode
+    emits just the (vec, query) candidate pairs.  Candidates broadcast-join
+    back to the vector table once, exact cosines come from one Arrow einsum
+    per batch against the stacked query matrix, and a per-query window
+    row_number takes each top-k (parallelism = batch size; salt it for
+    batch × corpus products beyond that).
+    """
+    import json
+    import os
+
+    from pyspark.sql.types import DoubleType
+
+    empty = spark.createDataFrame([], "query_id int, vec_id long, cosine double")
+    if not query_vecs:
+        return empty
+    with open(os.path.join(index_dir, "meta.json")) as fh:
+        meta = json.load(fh)
+    qm = np.asarray(query_vecs, dtype=np.float64)  # (Q, dim)
+    if meta["dim"] and meta["dim"] != qm.shape[1]:
+        raise ValueError(f"query dim {qm.shape[1]} != indexed dim {meta['dim']}")
+    planes = rp_planes(qm.shape[1], meta["n_planes"], meta["seed"])
+    weights = 1 << np.arange(meta["n_planes"], dtype=np.int64)
+    qsigs = (((qm @ planes.T) > 0).astype(np.int64) @ weights).tolist()
+
+    qarr = F.array(
+        *[
+            F.struct(F.lit(i).alias("qid"), F.lit(int(s)).alias("qsig"))
+            for i, s in enumerate(qsigs)
+        ]
+    )
+    sigs = spark.read.parquet(os.path.join(index_dir, "signatures"))
+    matches = F.filter(
+        qarr,
+        lambda q: F.bit_count(F.col("sig").bitwiseXOR(q["qsig"]))
+        <= F.lit(max_probe_hamming),
+    )
+    cand = (
+        sigs.select(F.col("vec_id").alias("_cand_id"), F.explode(matches).alias("_q"))
+        .select("_cand_id", F.col("_q.qid").alias("query_id"))
+    )
+    pairs = vectors.join(
+        F.broadcast(cand), on=F.col(id_col) == F.col("_cand_id"), how="inner"
+    ).select(F.col(id_col).alias("vec_id"), "query_id", vec_col)
+
+    qnorms = np.sqrt(np.einsum("ij,ij->i", qm, qm))
+
+    @F.pandas_udf(DoubleType())
+    def _cos_to_query(vs: pd.Series, qids: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series(np.empty(0, dtype=np.float64))
+        mat = np.array(vs.tolist(), dtype=np.float64)
+        qi = qids.to_numpy(np.int64)
+        dots = np.einsum("ij,ij->i", mat, qm[qi])
+        norms = np.sqrt(np.einsum("ij,ij->i", mat, mat))
+        return pd.Series(dots / (norms * qnorms[qi]))
+
+    scored = pairs.select(
+        "query_id", "vec_id", _cos_to_query(F.col(vec_col), F.col("query_id")).alias("cosine")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .select("query_id", "vec_id", "cosine")
+    )

@@ -80,3 +80,38 @@ def test_probe_prunes_scan(spark, vectors, sig_dir):
         max_probe_hamming=1,
     )
     assert res.count() < total
+
+
+def test_indexed_batch_matches_per_query(spark, vectors, sig_dir):
+    from elasticsearch_aggregation_geoclustering_spark.extras.similarity import (
+        rp_lsh_topk_indexed_batch,
+    )
+
+    rng = np.random.default_rng(23)
+    qs = [[float(x) for x in rng.normal(size=16)] for _ in range(4)]
+    batch = rp_lsh_topk_indexed_batch(
+        spark, sig_dir, vectors, "vec_id", "embedding", qs, k=5
+    ).collect()
+    per_q = {}
+    for r in batch:
+        per_q.setdefault(r["query_id"], []).append((r["vec_id"], r["cosine"]))
+    for qid, q in enumerate(qs):
+        want = [
+            (r["vec_id"], r["cosine"])
+            for r in rp_lsh_topk_indexed(
+                spark, sig_dir, vectors, "vec_id", "embedding", q, k=5
+            ).collect()
+        ]
+        have = sorted(per_q.get(qid, []), key=lambda t: (-t[1], t[0]))
+        # same ranked ids; cosines equal to fp-association noise (einsum vs
+        # the JVM fold associate differently)
+        assert [v for v, _ in have] == [v for v, _ in want], qid
+        for (_, a), (_, b) in zip(have, want):
+            assert abs(a - b) < 1e-9
+
+    assert (
+        rp_lsh_topk_indexed_batch(
+            spark, sig_dir, vectors, "vec_id", "embedding", [], k=5
+        ).count()
+        == 0
+    )
