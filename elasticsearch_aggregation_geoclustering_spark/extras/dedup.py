@@ -340,31 +340,57 @@ def dropped_bucket_stats(
 
 
 def _bucket_pairs(
-    buckets: DataFrame, bucket_cols: list[str], max_bucket_size: int | None
+    buckets: DataFrame,
+    bucket_cols: list[str],
+    max_bucket_size: int | None,
+    cap_method: str = "window",
 ) -> DataFrame:
     """Distinct ``(doc_a, doc_b)`` pairs co-bucketed by ``bucket_cols``.
 
-    ONE pass over the bucket rows (window count → cap filter → collect the
+    ONE pass over the bucket rows (cap filter → collect the
     ≤ max_bucket_size member ids) followed by an in-bucket pair explosion —
     instead of a self-equi-join, which costs three full recomputations of
     the upstream lineage (the bucket-size filter plus both join sides; Spark
-    only reuses exchanges for physically identical subplans).  The window
-    count shares the groupBy's hash partitioning, so there is ONE shuffle
-    keyed by the uniform bucket key plus the final pair distinct; the cap is
-    applied BEFORE collect_list, so a degenerate mass-duplicate bucket
-    streams through the (disk-spillable) window buffer and never
+    only reuses exchanges for physically identical subplans).  The cap is
+    applied BEFORE collect_list, so a degenerate mass-duplicate bucket never
     materializes an unbounded in-memory array.  The in-bucket expansion is
     O(k²) array work per bucket, bounded by the cap.
+
+    Two cap implementations with identical results (pinned by
+    tests/test_scale_plans.py):
+
+    - ``cap_method="window"``: a window count sharing the groupBy's hash
+      partitioning — ONE shuffle total, robust at ANY key cardinality, but
+      each window partition buffers a whole bucket: with only a handful of
+      distinct keys (narrow LSH bands) the partitions themselves are the
+      skew.
+    - ``cap_method="anti_join"``: pre-aggregate bucket sizes (map-side
+      partial agg → the shuffle carries one row per DISTINCT key), keep the
+      oversized keys (≤ N/max_bucket_size rows by construction, tiny in any
+      non-degenerate corpus) and broadcast anti-join them away — no window
+      buffering, no skewed partitions.  Costs a second pass over the bucket
+      rows' lineage, so persist upstream when that lineage is expensive.
     """
     if max_bucket_size is not None:
-        from pyspark.sql import Window
+        if cap_method == "anti_join":
+            big = (
+                buckets.groupBy(*bucket_cols)
+                .agg(F.count(F.lit(1)).alias("_n"))
+                .where(F.col("_n") > max_bucket_size)
+                .select(*bucket_cols)
+            )
+            buckets = buckets.join(F.broadcast(big), on=bucket_cols, how="left_anti")
+        elif cap_method == "window":
+            from pyspark.sql import Window
 
-        w = Window.partitionBy(*bucket_cols)
-        buckets = (
-            buckets.withColumn("_n", F.count(F.lit(1)).over(w))
-            .where(F.col("_n") <= max_bucket_size)
-            .drop("_n")
-        )
+            w = Window.partitionBy(*bucket_cols)
+            buckets = (
+                buckets.withColumn("_n", F.count(F.lit(1)).over(w))
+                .where(F.col("_n") <= max_bucket_size)
+                .drop("_n")
+            )
+        else:
+            raise ValueError(f"cap_method must be window|anti_join: {cap_method}")
     ids_sorted = F.array_sort(F.collect_list("doc_id"))
     groups = buckets.groupBy(*bucket_cols).agg(ids_sorted.alias("ids"))
     groups = groups.where(F.size("ids") >= 2)

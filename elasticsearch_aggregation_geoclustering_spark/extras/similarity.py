@@ -160,6 +160,7 @@ def rp_band_near_pairs(
     bands: int = 8,
     seed: int = 42,
     max_bucket_size: int | None = 1000,
+    cap_method: str = "auto",
 ) -> DataFrame:
     """Embedding near-duplicate pairs via banded RP-LSH blocking.
 
@@ -182,6 +183,13 @@ def rp_band_near_pairs(
 
     Signature bits use a FIXED plane set per (dim, n_planes, seed), so the
     DuckDB oracle reproduces the exact candidate set from the same constants.
+
+    ``cap_method`` picks the bucket-cap implementation (see
+    ``dedup._bucket_pairs``): "auto" uses the broadcast anti-join when the
+    band-key space is narrow (≤ 2^16 values/band — a window over so few
+    keys IS the skew: ~N/2^width rows buffered per partition) and the
+    window count otherwise; the anti-join's second pass reads a persisted
+    (id, band, bits) frame, never the signature UDF twice.
     """
     if n_planes % bands:
         raise ValueError("n_planes must divide evenly into bands")
@@ -221,9 +229,17 @@ def rp_band_near_pairs(
         F.col(id_col).alias("doc_id"),
         F.posexplode(_band_keys(F.col(vec_col))).alias("band", "bits"),
     )
+    if cap_method == "auto":
+        cap_method = "anti_join" if width <= 16 else "window"
+    if max_bucket_size is not None and cap_method == "anti_join":
+        # the anti-join cap reads the bucket rows twice (size pre-agg +
+        # main groupBy); persist so the plane UDF runs once per vector
+        from pyspark import StorageLevel
+
+        sigrows = sigrows.persist(StorageLevel.MEMORY_AND_DISK)
     # groupBy + in-bucket explosion: the signature UDF lineage runs once (a
     # self-join would recompute it per join side)
-    cand = _bucket_pairs(sigrows, ["band", "bits"], max_bucket_size).select(
+    cand = _bucket_pairs(sigrows, ["band", "bits"], max_bucket_size, cap_method).select(
         F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b")
     )
     vecs = df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))

@@ -49,9 +49,33 @@ def doc_term_frequencies(texts: pd.Series) -> pd.DataFrame:
     Returns a DataFrame ``(row, term, tf)`` where ``row`` is the positional
     index into ``texts``; plus doc length is ``groupby(row).tf.sum()``.
     All pandas/numpy column ops — no per-row Python loop.
+
+    This is the positions-FREE fast path (``index_options='freqs'`` builds):
+    it skips ``doc_term_positions``'s extra per-occurrence work (the position
+    arange and the stable argsort over every token occurrence) — only the
+    factorize/unique pass over distinct (row, term) pairs runs.  Output rows
+    and ordering are identical to ``doc_term_positions()[0]`` (pinned by
+    tests/test_index_options.py).
     """
-    frame, _ = doc_term_positions(texts)
-    return frame
+    empty = pd.DataFrame(
+        {"row": np.empty(0, np.int64), "term": [], "tf": np.empty(0, np.int64)}
+    )
+    tokens = tokenize_pandas(texts.reset_index(drop=True))
+    exploded = tokens.explode().dropna()
+    if exploded.empty:
+        return empty
+    rows = exploded.index.to_numpy(np.int64)
+    codes, uniques = pd.factorize(exploded.to_numpy(), sort=True)
+    n_terms = len(uniques)
+    pair = rows * np.int64(n_terms) + codes
+    uk, tf = np.unique(pair, return_counts=True)
+    return pd.DataFrame(
+        {
+            "row": uk // n_terms,
+            "term": uniques[uk % n_terms],
+            "tf": tf.astype(np.int64),
+        }
+    )
 
 
 def doc_term_positions(texts: pd.Series) -> tuple[pd.DataFrame, np.ndarray]:

@@ -242,16 +242,33 @@ def _rank_plan(
         nul_probe = F.max(nul_checks[0])
     else:
         nul_probe = F.max(F.greatest(*nul_checks))
+    # NULL key values have no deterministic place in ANY of the orderings
+    # (concat_ws silently drops NULL columns so (NULL,'b') and ('b',NULL)
+    # encode identically; struct comparisons against a NULL yield NULL; the
+    # sampled-bounds python sort raises) — so the docID contract requires
+    # non-null keys, enforced here in the same single aggregation.
+    null_key_probe = F.max(
+        F.greatest(*[F.col(c).isNull().cast("int") for c in key_cols])
+        if len(key_cols) > 1
+        else F.col(key_cols[0]).isNull().cast("int")
+    )
     row = df.agg(
         F.count(F.lit(1)).alias("_n"),
         F.min(enc).alias("_min"),
         F.max(enc).alias("_max"),
         nul_probe.alias("_nul"),
+        null_key_probe.alias("_nullkey"),
         *[F.min(F.col(c)).alias(f"_imin_{c}") for c in int_cols],
     ).collect()[0]
     n_docs = int(row["_n"])
     if n_docs == 0:
         return F.lit(0).cast("int"), {}, 0
+    if (row["_nullkey"] or 0) > 0:
+        raise ValueError(
+            f"key columns {list(key_cols)} contain NULL values: docID "
+            "assignment requires a total order over non-null unique keys — "
+            "filter or fill the key columns before indexing"
+        )
     needs_fallback = (row["_nul"] or 0) > 0 or any(
         row[f"_imin_{c}"] is not None and row[f"_imin_{c}"] < 0 for c in int_cols
     )
@@ -839,11 +856,24 @@ def append_index(
             # same-key-different-content is a violation of the keys-globally-
             # unique contract and is surfaced by the replay warning below.
             F.bit_xor(F.col("_kh")).alias("kxor"),
+            # same non-null-keys contract as _rank_plan, same free ride on
+            # the existing key-only aggregation
+            F.max(
+                F.greatest(*[F.col(f"_k.{c}").isNull().cast("int") for c in key_cols])
+                if len(key_cols) > 1
+                else F.col(f"_k.{key_cols[0]}").isNull().cast("int")
+            ).alias("knull"),
         )
         .collect()
     )
     if not count_rows:  # hint said rows exist but the batch is actually empty
         return load_stats(index_dir)
+    if any((r["knull"] or 0) > 0 for r in count_rows):
+        raise ValueError(
+            f"key columns {list(key_cols)} contain NULL values: docID "
+            "assignment requires a total order over non-null unique keys — "
+            "filter or fill the key columns before indexing"
+        )
     counts = {r["_b"]: r["cnt"] for r in count_rows}
     n_new = sum(counts.values())
     key_xor = 0
@@ -1030,10 +1060,37 @@ def upsert_index(
     delete+reinsert, exactly Lucene's model.  The key resolution is one
     docmap join (key-pruned columns only); the append reuses the resumable
     ledger machinery.
+
+    Replay-safe: the delete step consults the append ledger FIRST.  On an
+    at-least-once redelivery (or a resume after a mid-append crash that
+    already recorded the ledger entry), the batch's docs from the first
+    attempt are ALREADY in the docmap — an unconditional delete_by_keys
+    would tombstone them, and the subsequent ledger-matched append would
+    skip rebuilding their segments, silently losing the whole batch to the
+    next ``merge_segments(apply_deletes=True)``.  A batch whose fingerprint
+    matches a prior ledger entry therefore skips the delete entirely (the
+    first attempt already tombstoned the superseded docs; tombstoning is
+    idempotent, so crash-between-delete-and-ledger replays simply re-delete).
     """
     manifest = load_manifest(index_dir)
     if manifest is not None:
-        delete_by_keys(spark, index_dir, docs.select(*key_cols), key_cols)
+        ks = _key_struct(key_cols)
+        row = docs.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(ks).alias("kmin"),
+            F.max(ks).alias("kmax"),
+        ).collect()[0]
+        fp = {
+            "n_docs": int(row["n"]),
+            "min_key": None if row["kmin"] is None else list(row["kmin"]),
+            "max_key": None if row["kmax"] is None else list(row["kmax"]),
+        }
+        replay = fp["n_docs"] > 0 and any(
+            all(e[k] == fp[k] for k in ("n_docs", "min_key", "max_key"))
+            for e in manifest.appends
+        )
+        if fp["n_docs"] > 0 and not replay:
+            delete_by_keys(spark, index_dir, docs.select(*key_cols), key_cols)
     return append_index(
         spark,
         docs,
@@ -1071,6 +1128,10 @@ def merge_segments(
     anti-join on exploded postings instead.
     """
     postings = spark.read.parquet(seg_store.segments_glob(index_dir))
+    if "pos_vb" not in postings.columns:
+        # legacy pre-positions segment layout: normalize to the current
+        # schema with empty positional payloads (≡ index_options="freqs")
+        postings = postings.withColumn("pos_vb", F.lit(b""))
     bucketed = postings.withColumn("merge_bucket", (F.col("seg_id") / F.lit(fanin)).cast("long"))
 
     deleted_bc = None

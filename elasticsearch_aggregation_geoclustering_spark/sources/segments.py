@@ -112,7 +112,7 @@ def load_manifest(index_dir: str) -> IndexManifest | None:
         docs_per_segment=raw["docs_per_segment"],
         tokenizer_version=raw["tokenizer_version"],
         num_segments_expected=raw["num_segments_expected"],
-        index_options=raw.get("index_options", "positions"),
+        index_options=detect_index_options(index_dir, raw.get("index_options")),
         segments=raw.get("segments", {}),
         appends=raw.get("appends", []),
     )
@@ -196,9 +196,33 @@ def write_segment_file(path: str, table: pa.Table) -> tuple[int, str]:
     return size, digest.hexdigest()
 
 
+def detect_index_options(index_dir: str, declared: str | None) -> str:
+    """Resolve ``index_options`` for metadata that predates the field.
+
+    Indexes built before positional postings existed have segments WITHOUT a
+    ``pos_vb`` column and no ``index_options`` entry in their JSON; blindly
+    defaulting those to "positions" sends merges and positional queries into
+    an opaque missing-column failure.  When the field is absent, sniff one
+    segment footer: no ``pos_vb`` column ⇒ the index is a freqs index
+    (phrase queries then raise the clear ES-style error instead).
+    """
+    if declared is not None:
+        return declared
+    seg_dir = segments_glob(index_dir)
+    if os.path.isdir(seg_dir):
+        for fn in sorted(os.listdir(seg_dir)):
+            if fn.endswith(".parquet"):
+                schema = pq.read_schema(os.path.join(seg_dir, fn))
+                return "positions" if "pos_vb" in schema.names else "freqs"
+    return "positions"
+
+
 def load_stats(index_dir: str) -> dict:
     with open(os.path.join(index_dir, STATS_NAME)) as fh:
-        return json.load(fh)
+        stats = json.load(fh)
+    if "index_options" not in stats:
+        stats["index_options"] = detect_index_options(index_dir, None)
+    return stats
 
 
 def save_stats(index_dir: str, stats: dict) -> None:

@@ -107,3 +107,44 @@ def test_invalid_option_rejected(spark):
             spark, docs, tempfile.mkdtemp(), content_col="text",
             key_cols=("orig_id",), index_options="offsets",
         )
+
+
+def test_legacy_layout_without_pos_vb_detected_as_freqs(spark):
+    """An index whose segments predate positional postings (no pos_vb
+    column, no index_options in its JSON metadata) must resolve to "freqs":
+    phrase queries raise the clear rebuild-required error and merges run
+    instead of failing on a missing column."""
+    import json
+
+    import pyarrow.parquet as pq
+
+    d = _build(spark, index_options="freqs")
+    out = tempfile.mkdtemp(prefix="legacymerge_")
+    try:
+        # simulate the legacy layout: strip pos_vb from every segment and
+        # the index_options field from both metadata files
+        seg_dir = os.path.join(d, "segments")
+        for fn in os.listdir(seg_dir):
+            if fn.endswith(".parquet"):
+                p = os.path.join(seg_dir, fn)
+                t = pq.read_table(p)
+                pq.write_table(t.drop_columns(["pos_vb"]), p)
+        for name in ("stats.json", "manifest.json"):
+            path = os.path.join(d, name)
+            with open(path) as fh:
+                meta = json.load(fh)
+            meta.pop("index_options", None)
+            with open(path, "w") as fh:
+                json.dump(meta, fh)
+
+        idx = InvertedIndex.open(spark, d)
+        assert idx.index_options == "freqs"
+        assert idx.match_count(["beta"]) == 3
+        with pytest.raises(ValueError, match="index_options"):
+            idx.phrase_match_count(["alpha", "beta"])
+        merge_segments(spark, d, out, fanin=8)
+        merged = InvertedIndex.open(spark, out)
+        assert merged.match_count(["beta"]) == 3
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+        shutil.rmtree(out, ignore_errors=True)

@@ -133,3 +133,41 @@ def test_nul_in_key_falls_back(spark):
     got = {(r["repo"], r["version"]): r["doc_id"] for r in out}
     want = {k: i for i, k in enumerate(sorted(got))}
     assert got == want
+
+
+def test_null_key_values_rejected(spark):
+    """concat_ws drops NULL columns (so (NULL,'b') and ('b',NULL) would
+    encode identically) and neither ordering path can place a NULL
+    deterministically — NULL keys must fail loudly, not mis-rank."""
+    import pytest
+
+    from elasticsearch_aggregation_geoclustering_spark.plans.index_build import (
+        assign_doc_ids,
+    )
+
+    df = spark.createDataFrame(
+        [("r", None, "c1"), (None, "b", "c2"), ("r", "b", "c3")],
+        "repo string, path string, commit string",
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        assign_doc_ids(df, ("repo", "path", "commit"), 2).collect()
+
+
+def test_null_key_values_rejected_on_append(spark, tmp_path):
+    import pytest
+
+    from elasticsearch_aggregation_geoclustering_spark.plans.index_build import (
+        append_index,
+        build_index,
+    )
+
+    d = str(tmp_path / "idx")
+    docs = spark.createDataFrame(
+        [(0, "alpha beta"), (1, "beta gamma")], "orig_id long, text string"
+    )
+    build_index(spark, docs, d, content_col="text", key_cols=("orig_id",), docs_per_segment=2)
+    bad = spark.createDataFrame(
+        [(None, "delta")], "orig_id long, text string"
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        append_index(spark, bad, d, content_col="text", key_cols=("orig_id",))

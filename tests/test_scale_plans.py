@@ -83,3 +83,45 @@ def test_rp_band_near_pairs_matches_bruteforce_when_recall_complete(spark):
     assert set(banded) <= set(brute)  # LSH candidates never invent pairs
     for pair, cos in banded.items():
         assert abs(cos - brute[pair]) < 1e-9
+
+
+def test_cap_methods_identical_pairs(spark):
+    """window and anti_join bucket caps must produce the SAME pair set —
+    including when the cap actually drops an oversized bucket."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    # 30 random vectors + a 12-member near-duplicate cluster that lands in
+    # one bucket and exceeds the cap below
+    base = rng.standard_normal(16)
+    rows = [(i, [float(x) for x in rng.standard_normal(16)]) for i in range(30)]
+    rows += [
+        (100 + j, [float(x) for x in base + 1e-4 * rng.standard_normal(16)])
+        for j in range(12)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    def pairs(method, cap):
+        df = similarity.rp_band_near_pairs(
+            emb, "vec_id", "embedding", threshold=0.2,
+            n_planes=16, bands=4, max_bucket_size=cap, cap_method=method,
+        )
+        return {(r["id_a"], r["id_b"]) for r in df.collect()}
+
+    for cap in (8, 1000):  # 8 < the 12-member cluster → drops its buckets
+        assert pairs("window", cap) == pairs("anti_join", cap)
+    # the cap=8 run must really have dropped the degenerate cluster's pairs
+    assert pairs("window", 8) != pairs("window", 1000)
+
+
+def test_anti_join_cap_no_window_exchange_skew(spark):
+    """The anti_join cap's plan must not contain a Window node (the skewed
+    buffer the narrow-band parameterization suffered from)."""
+    df = similarity.rp_band_near_pairs(
+        _emb_df(spark), "vec_id", "embedding", threshold=0.2,
+        n_planes=16, bands=4, max_bucket_size=1000, cap_method="anti_join",
+    )
+    plan = _plan(df)
+    assert "Window" not in plan
+    for bad in BAD_NODES:
+        assert bad not in plan

@@ -132,6 +132,44 @@ def test_upsert_replaces_by_key(spark, index_dir):
     assert gen == 2
 
 
+def test_upsert_replay_keeps_batch_live(spark, index_dir):
+    """An at-least-once redelivery of the SAME upsert batch must be a no-op.
+
+    Regression: the replayed delete_by_keys used to tombstone the docs the
+    first attempt appended (they hold the batch's keys), while the
+    ledger-matched append skipped rebuilding them — permanently losing the
+    batch at the next apply_deletes merge."""
+    new = spark.createDataFrame(
+        [(1, "omega omega"), (6, "alpha omega")], "orig_id long, text string"
+    )
+    for attempt in range(2):
+        if attempt:
+            with pytest.warns(UserWarning, match="resume/replay"):
+                upsert_index(
+                    spark, new, index_dir, content_col="text", key_cols=("orig_id",)
+                )
+        else:
+            upsert_index(
+                spark, new, index_dir, content_col="text", key_cols=("orig_id",)
+            )
+        idx = InvertedIndex.open(spark, index_dir)
+        # the batch's docs stay live after the replay
+        assert _orig_ids(idx, idx.search(["omega"], k=10)) == [1, 6]
+        assert idx.match_count(["alpha"]) == 4  # 0, 3, 5, new 6
+        # exactly one tombstone (old generation of key 1) — the replay
+        # added none for the batch's own docs
+        deletes = spark.read.parquet(os.path.join(index_dir, "deletes"))
+        assert deletes.distinct().count() == 1
+    # compaction keeps the batch (this is where the old bug became data loss)
+    out = tempfile.mkdtemp(prefix="upsertmerge_")
+    try:
+        merge_segments(spark, index_dir, out, fanin=8, apply_deletes=True)
+        compacted = InvertedIndex.open(spark, out)
+        assert _orig_ids(compacted, compacted.search(["omega"], k=10)) == [1, 6]
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def test_merge_apply_deletes_compacts(spark, index_dir):
     delete_docs(spark, index_dir, _internal_ids(spark, index_dir, [0, 4]))
     out = tempfile.mkdtemp(prefix="delmerge_")
