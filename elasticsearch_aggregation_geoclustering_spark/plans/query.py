@@ -127,6 +127,7 @@ class InvertedIndex:
     _df_cache_checked: bool = False
     _deletes_checked: bool = False
     _deleted: DataFrame | None = None
+    _postings_df: DataFrame | None = None
 
     @classmethod
     def open(cls, spark: SparkSession, index_dir: str) -> "InvertedIndex":
@@ -142,8 +143,20 @@ class InvertedIndex:
     # --- raw layers -----------------------------------------------------
 
     def postings(self, terms: list[str] | None = None) -> DataFrame:
-        """Encoded postings rows; term filter pushed into the parquet scan."""
-        df = self.spark.read.parquet(seg_store.segments_glob(self.index_dir))
+        """Encoded postings rows; term filter pushed into the parquet scan.
+
+        The reader DataFrame is built once per InvertedIndex and reused: a
+        fresh ``spark.read.parquet`` per query would re-list the segment
+        directory and re-read every parquet footer — with hundreds of
+        segments that directory walk dominates small-query latency.  Term
+        filters still push into each query's scan (the cached relation is
+        pre-filter).
+        """
+        if self._postings_df is None:
+            self._postings_df = self.spark.read.parquet(
+                seg_store.segments_glob(self.index_dir)
+            )
+        df = self._postings_df
         if terms is not None:
             df = df.where(F.col("term").isin(sorted(set(terms))))
         return df
