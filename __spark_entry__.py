@@ -48,6 +48,7 @@ from elasticsearch_aggregation_geoclustering_spark.plans.query import InvertedIn
 TERMS_OR = ["spark", "window", "merge"]
 TERMS_AND = ["table", "value", "customer"]
 PHRASE = ["table", "value"]
+PHRASE_SLOP = 2
 TOPK = 50
 ANN_K = 20
 NEAR_DUP_COS = 0.4
@@ -405,6 +406,23 @@ def _q_phrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_phrase_slop_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sloppy match_phrase hit count (Lucene slop semantics over pos_vb)."""
+    n = _index_for(spark, sf_dir).phrase_match_count(PHRASE, slop=PHRASE_SLOP)
+    return spark.createDataFrame([(n,)], "hits long")
+
+
+def _q_phrase_slop_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25-scored sloppy phrase top-k (sloppy freq = sum 1/(1+matchLength),
+    kept in integer arithmetic so the oracle hash-matches bit for bit)."""
+    index = _index_for(spark, sf_dir)
+    topk = index.phrase_search(PHRASE, k=TOPK, slop=PHRASE_SLOP)
+    ids = index.docmap().select("doc_id", "orig_id")
+    return topk.join(ids, on="doc_id").select(
+        F.col("orig_id").alias("doc_id"), F.round("score", 5).alias("score")
+    )
+
+
 def _q_match_count_or(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _index_for(spark, sf_dir).match_count(TERMS_OR, mode="OR")
     return spark.createDataFrame([(n,)], "hits long")
@@ -628,6 +646,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "match_count_and": _q_match_count_and,
         "phrase_match_count": _q_phrase_match_count,
         "phrase_topk": _q_phrase_topk,
+        "phrase_slop_count": _q_phrase_slop_count,
+        "phrase_slop_topk": _q_phrase_slop_topk,
         "term_df": _q_term_df,
         "index_stats": _q_index_stats,
         "docmap_sha256": _q_docmap_sha256,
@@ -917,6 +937,15 @@ where lon >= {BBOX['lon_min']} and lon <= {BBOX['lon_max']}
         ),
         "phrase_topk": (
             f"with {osql.phrase_scores_cte(phrase=PHRASE)}\n"
+            "select doc_id, round(score, 5) as score from scored\n"
+            f"order by scored.score desc, doc_id asc limit {TOPK}"
+        ),
+        "phrase_slop_count": (
+            f"with {osql.sloppy_phrase_scores_cte(phrase=PHRASE, slop=PHRASE_SLOP)}\n"
+            "select count(*)::BIGINT as hits from pdocs"
+        ),
+        "phrase_slop_topk": (
+            f"with {osql.sloppy_phrase_scores_cte(phrase=PHRASE, slop=PHRASE_SLOP)}\n"
             "select doc_id, round(score, 5) as score from scored\n"
             f"order by scored.score desc, doc_id asc limit {TOPK}"
         ),

@@ -413,6 +413,98 @@ scored as (
 )"""
 
 
+def sloppy_phrase_scores_cte(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text: str = "text",
+    *,
+    phrase: list[str],
+    slop: int,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> str:
+    """CTE chain for a sloppy match_phrase query (``slop`` ≥ 1), exposing
+    ``scored(doc_id, score)`` and ``pdocs(doc_id, ptf, sfreq_scaled)``.
+
+    Mirrors InvertedIndex._sloppy_phrase_occurrences exactly: adjusted
+    position adj = pos − off (may be NEGATIVE — Lucene reorderings), an
+    occurrence at start p iff every offset has adj ∈ [p, p+slop], min adj =
+    p, and each term covers its offsets with ≥ multiplicity distinct
+    positions; matchLength = max over terms of (min adj) − p.  The sloppy
+    frequency is kept in INTEGER arithmetic (scaled by L = lcm(1..slop+1),
+    ``//`` floor division — exactly divisible) so the per-doc sum is
+    addition-order free and hash-matches the Spark engine bit for bit.
+    """
+    import math
+
+    toks = tokens_sql(text)
+    k = len(phrase)
+    L = math.lcm(*range(1, slop + 2))
+    offs_values = ", ".join(
+        f"('{t.replace(chr(39), chr(39) * 2)}', {i})" for i, t in enumerate(phrase)
+    )
+    term_list = ", ".join(
+        "'" + t.replace("'", "''") + "'" for t in sorted(set(phrase))
+    )
+    return f"""
+t as (select {id_col} as doc_id, {toks} as toks from {table}),
+pos as (
+  select doc_id, i - 1 as pos, toks[i] as term
+  from t, unnest(range(1, len(toks) + 1)) as r(i)
+),
+offs as (select * from (values {offs_values}) as o(term, off)),
+mult as (select term, count(*)::BIGINT as mult from offs group by term),
+hits as (
+  select p.doc_id, p.term, p.pos, o.off, p.pos - o.off as adj
+  from pos p join offs o using (term)
+),
+cand as (
+  select h.doc_id, h.term, h.pos, h.off, h.adj, h.adj - s.d as start
+  from hits h, unnest(range(0, {slop} + 1)) as s(d)
+),
+per_term as (
+  select doc_id, start, term,
+         count(distinct pos) as npos,
+         count(distinct off) as noff,
+         min(adj) as tmin
+  from cand group by 1, 2, 3
+),
+starts as (
+  select pt.doc_id, pt.start, max(pt.tmin) - pt.start as ml
+  from per_term pt join mult m using (term)
+  group by pt.doc_id, pt.start
+  having sum(pt.noff) = {k}
+     and min(pt.npos - m.mult) >= 0
+     and min(pt.tmin) = pt.start
+),
+pdocs as (
+  select doc_id, count(*)::BIGINT as ptf,
+         sum({L} // (1 + ml))::BIGINT as sfreq_scaled
+  from starts group by doc_id
+),
+dl as (select doc_id, len(toks)::BIGINT as dl from t),
+stats as (
+  select (select count(*) from {table})::BIGINT as n,
+         (select count(*) from pos)::DOUBLE / (select count(*) from {table}) as avgdl
+),
+dfreq as (
+  select term, count(distinct doc_id)::BIGINT as df from pos
+  where term in ({term_list}) group by term
+),
+idf as (
+  select sum(ln(1.0 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))) as s
+  from offs join dfreq using (term) cross join stats
+),
+scored as (
+  select pdocs.doc_id,
+         idf.s * ((pdocs.sfreq_scaled::DOUBLE / {L})
+           / (pdocs.sfreq_scaled::DOUBLE / {L}
+              + {k1} * (1.0 - {b} + {b} * dl.dl::DOUBLE / stats.avgdl)))
+           as score
+  from pdocs join dl using (doc_id) cross join stats cross join idf
+)"""
+
+
 def lang_id_sql(table: str = "documents", id_col: str = "doc_id", text: str = "text") -> str:
     toks = tokens_sql(text)
     langs = sorted(LANG_STOPWORDS)

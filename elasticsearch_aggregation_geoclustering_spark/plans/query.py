@@ -26,6 +26,7 @@ The reference surfaces these engine behaviors rather than implementing them
 
 from __future__ import annotations
 
+import math
 import os
 from collections.abc import Iterator
 from dataclasses import dataclass
@@ -429,39 +430,151 @@ class InvertedIndex:
             F.count(F.lit(1)).alias("ptf"), F.max("dl").alias("dl")
         )
 
-    def phrase_match_count(self, phrase: list[str]) -> int:
-        """hits.total for an exact match_phrase query (slop=0)."""
+    def _sloppy_phrase_occurrences(
+        self, phrase: list[str], slop: int, lucene_norms: bool = False
+    ) -> DataFrame:
+        """Per-doc sloppy-phrase stats: (doc_id, ptf, sfreq_scaled, dl).
+
+        Lucene ``match_phrase`` + ``slop`` semantics (SloppyPhraseMatcher's
+        matchLength criterion; the host-engine H5 surface behind
+        ``GeoPointClusteringAggregator.java:87-96`` "documents matching the
+        query"): each occurrence of phrase term ``q_i`` at document position
+        ``d`` has adjusted position ``adj = d - i``; a sloppy occurrence at
+        start ``p`` exists iff every phrase offset has an occurrence with
+        ``p ≤ adj ≤ p + slop`` (matchLength = max(adj) − min(adj) ≤ slop —
+        this also admits Lucene's reorderings: "b a" matches "a b" at slop
+        2), the smallest adjusted position in the window IS ``p`` (each
+        occurrence is counted at exactly one start), and every repeated term
+        covers its offsets with ≥ multiplicity DISTINCT document positions.
+        matchLength for the weight is ``max over terms of (min adj) − p`` —
+        for repeat-free phrases exactly Lucene's per-position minimal
+        arrangement; for phrases with repeated terms the per-term
+        aggregation is a documented (tested, oracle-mirrored) approximation
+        of Lucene's greedy repeat handling.
+
+        ``sfreq_scaled`` is the Lucene sloppy frequency
+        ``Σ 1/(1 + matchLength)`` scaled by ``L = lcm(1..slop+1)`` so the
+        aggregation is pure INTEGER arithmetic — exact and addition-order
+        free, which is what lets the DuckDB oracle hash-match the scores
+        bit for bit (a float sum would depend on row order on both engines).
+
+        Plan shape: term-pruned positional decode → broadcast (term, offset)
+        join → explode each occurrence into its ≤ slop+1 candidate starts →
+        TWO groupBys keyed by (doc, start[, term]) — doc-dominated uniform
+        keys, the same scale contract as the exact phrase path.
+        """
+        spark = self.spark
+        uniq = sorted(set(phrase))
+        df_map = self.df_of(uniq)
+        if len(df_map) < len(uniq):  # some term matches nothing anywhere
+            return spark.createDataFrame(
+                [], "doc_id long, ptf long, sfreq_scaled long, dl long"
+            )
+        k = len(phrase)
+        rows = self._live(self.term_position_rows(uniq, lucene_norms))
+        offsets = spark.createDataFrame(
+            [(t, i) for i, t in enumerate(phrase)], "term string, off int"
+        )
+        from collections import Counter
+
+        mult = spark.createDataFrame(
+            [(t, m) for t, m in Counter(phrase).items()], "term string, mult long"
+        )
+        # adjusted positions may be NEGATIVE (Lucene: "beta alpha" matches
+        # phrase "alpha beta" at slop 2 through beta's adj = 0 − 1 = −1), so
+        # neither the hits nor the candidate starts are clamped at zero
+        hits = rows.join(F.broadcast(offsets), on="term").select(
+            "doc_id", "dl", "term", "pos", "off",
+            (F.col("pos") - F.col("off")).alias("adj"),
+        )
+        cand = hits.select(
+            "doc_id", "dl", "term", "pos", "off", "adj",
+            F.explode(F.sequence(F.col("adj") - slop, F.col("adj"))).alias("start"),
+        )
+        per_term = (
+            cand.groupBy("doc_id", "start", "term")
+            .agg(
+                F.count_distinct("pos").alias("npos"),
+                F.count_distinct("off").alias("noff"),
+                F.min("adj").alias("tmin"),
+                F.max("dl").alias("dl"),
+            )
+            .join(F.broadcast(mult), on="term")
+        )
+        L = math.lcm(*range(1, slop + 2))
+        starts = (
+            per_term.groupBy("doc_id", "start")
+            .agg(
+                F.sum("noff").alias("_noff"),
+                F.min(F.col("npos") - F.col("mult")).alias("_mslack"),
+                F.min("tmin").alias("_minadj"),
+                F.max("tmin").alias("_end"),
+                F.max("dl").alias("dl"),
+            )
+            .where(
+                (F.col("_noff") == k)
+                & (F.col("_mslack") >= 0)
+                & (F.col("_minadj") == F.col("start"))
+            )
+            .select(
+                "doc_id", "dl",
+                # integer weight L/(1+matchLength): exact, order-free
+                (F.lit(L) / (F.lit(1) + F.col("_end") - F.col("start")))
+                .cast("long")
+                .alias("w"),
+            )
+        )
+        return starts.groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("ptf"),
+            F.sum("w").alias("sfreq_scaled"),
+            F.max("dl").alias("dl"),
+        )
+
+    def phrase_match_count(self, phrase: list[str], slop: int = 0) -> int:
+        """hits.total for a match_phrase query (``slop=0`` ⇒ exact)."""
         if not phrase:
             return 0
-        return self._phrase_occurrences(phrase).count()
+        if slop == 0:
+            return self._phrase_occurrences(phrase).count()
+        return self._sloppy_phrase_occurrences(phrase, slop).count()
 
     def phrase_search(
         self,
         phrase: list[str],
         k: int = 10,
         params: bm25.Bm25Params = bm25.Bm25Params(),
+        slop: int = 0,
     ) -> DataFrame:
-        """BM25-scored exact phrase top-k: (doc_id, score), ≤ k rows.
+        """BM25-scored phrase top-k: (doc_id, score), ≤ k rows.
 
         Lucene PhraseQuery semantics: the phrase scores like a single
         pseudo-term whose tf is the PHRASE frequency and whose idf is the sum
         of the member terms' idfs — BM25Similarity receives one TermStatistics
         per phrase position, so a repeated term contributes its idf once per
-        position.  score = idf_sum · ptf / (ptf + k1·(1 − b + b·dl/avgdl)).
+        position.  score = idf_sum · tf / (tf + k1·(1 − b + b·dl/avgdl)),
+        where tf is the exact phrase frequency at ``slop=0`` and Lucene's
+        sloppy frequency ``Σ 1/(1 + matchLength)`` otherwise (each sloppier
+        occurrence contributes proportionally less, SloppyPhraseMatcher's
+        weighting; see _sloppy_phrase_occurrences for the match criterion).
         """
         spark = self.spark
         if not phrase:
             return spark.createDataFrame([], "doc_id long, score double")
-        occ = self._phrase_occurrences(phrase, params.lucene_norms)
+        if slop == 0:
+            occ = self._phrase_occurrences(phrase, params.lucene_norms)
+            tf_d = F.col("ptf").cast("double")
+        else:
+            occ = self._sloppy_phrase_occurrences(phrase, slop, params.lucene_norms)
+            L = math.lcm(*range(1, slop + 2))
+            tf_d = F.col("sfreq_scaled").cast("double") / F.lit(float(L))
         df_map = self.df_of(sorted(set(phrase)))
         idfs = bm25.idf_map(self.n_docs, df_map)
         idf_sum = sum(idfs.get(t, 0.0) for t in phrase)  # per position, dups counted
-        ptf_d = F.col("ptf").cast("double")
         dl_d = F.col("dl").cast("double")
-        denom = ptf_d + F.lit(params.k1) * (
+        denom = tf_d + F.lit(params.k1) * (
             F.lit(1.0) - F.lit(params.b) + F.lit(params.b) * dl_d / F.lit(self.avgdl)
         )
-        scored = occ.select("doc_id", (F.lit(idf_sum) * (ptf_d / denom)).alias("score"))
+        scored = occ.select("doc_id", (F.lit(idf_sum) * (tf_d / denom)).alias("score"))
         return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
     def search_with_docs(self, terms: list[str], k: int = 10, mode: str = "OR", **kw) -> DataFrame:
