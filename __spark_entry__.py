@@ -571,6 +571,40 @@ def _q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk.select("vec_id", F.round("cosine", 6).alias("cosine"))
 
 
+def _sig_index_for(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once) the persisted RP-LSH signature index for an sf dir.
+
+    Deterministic for fixed (embeddings fingerprint, n_planes, seed) —
+    rebuilding yields value-identical rows, so the cache key mirrors
+    _index_for's fingerprinting."""
+    fp = _source_fingerprint(os.path.join(sf_dir, "embeddings.parquet"))
+    key = hashlib.md5(
+        f"sig|{os.path.realpath(sf_dir)}|{RP_N_PLANES}|{RP_SEED}|{fp}".encode()
+    ).hexdigest()[:16]
+    sig_dir = os.path.join(_CACHE_ROOT, key)
+    if not os.path.exists(os.path.join(sig_dir, "meta.json")):
+        similarity.build_signature_index(
+            _embeddings(spark, sf_dir), "vec_id", "embedding", sig_dir,
+            n_planes=RP_N_PLANES, seed=RP_SEED,
+        )
+    return sig_dir
+
+
+def _q_ann_lsh_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted-signature-index probe path (what a query workload runs):
+    scan ONLY the (vec_id, sig) parquet, broadcast the candidates back onto
+    the vector table, exact-score.  Results are identical to rp_lsh_topk
+    with the same constants, so it shares that oracle's SQL shape."""
+    sig_dir = _sig_index_for(spark, sf_dir)
+    emb = _embeddings(spark, sf_dir)
+    qv = _query_vec(spark, sf_dir)
+    topk = similarity.rp_lsh_topk_indexed(
+        spark, sig_dir, emb, "vec_id", "embedding", qv,
+        k=ANN_K, max_probe_hamming=RP_PROBE_HAMMING,
+    )
+    return topk.select("vec_id", F.round("cosine", 6).alias("cosine"))
+
+
 def _q_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.token_count(_docs(spark, sf_dir), "text", "doc_id")
 
@@ -664,6 +698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": _q_ann_cosine_topk,
         "embedding_near_dup": _q_embedding_near_dup,
         "ann_lsh_topk": _q_ann_lsh_topk,
+        "ann_lsh_indexed_topk": _q_ann_lsh_indexed_topk,
         # training-data pipeline: text analysis + multimodal plumbing
         "text_token_count": _q_text_token_count,
         "text_quality": _q_text_quality,
@@ -1008,6 +1043,11 @@ limit {ANN_K}
             max_bucket_size=LSH_MAX_BUCKET,
         ),
         "ann_lsh_topk": osql.rp_lsh_topk_sql(
+            similarity.rp_planes(EMB_DIM, RP_N_PLANES, RP_SEED),
+            k=ANN_K,
+            max_probe_hamming=RP_PROBE_HAMMING,
+        ),
+        "ann_lsh_indexed_topk": osql.rp_lsh_topk_sql(
             similarity.rp_planes(EMB_DIM, RP_N_PLANES, RP_SEED),
             k=ANN_K,
             max_probe_hamming=RP_PROBE_HAMMING,

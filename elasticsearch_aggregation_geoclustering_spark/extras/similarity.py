@@ -150,6 +150,35 @@ def rp_signature_column(vec: Column, planes: np.ndarray) -> Column:
     return _sig(vec)
 
 
+def rp_band_keys_column(vec: Column, planes: np.ndarray, bands: int) -> Column:
+    """Per-band LSH keys as array<long>, one Arrow matmul per batch.
+
+    Band keys are computed per band inside the UDF (reshape + per-band bit
+    weights) so n_planes may exceed 64 — for n_planes ≤ 63 the values are
+    identical to extracting ``(sig >> band*width) & mask`` from the packed
+    ``rp_signature_column`` signature, which is what the SQL oracle does.
+    Shared by ``rp_band_near_pairs`` and the banded persisted index so the
+    two can never drift.
+    """
+    from pyspark.sql.types import ArrayType
+
+    n_planes = planes.shape[0]
+    width = n_planes // bands
+    planes_t = planes.T.copy()
+    band_weights = 1 << np.arange(width, dtype=np.int64)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _band_keys(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype=object)
+        mat = np.array(vs.tolist(), dtype=np.float64)
+        bits = ((mat @ planes_t) > 0).astype(np.int64)  # (n, n_planes)
+        keys = bits.reshape(len(mat), bands, width) @ band_weights  # (n, bands)
+        return pd.Series(list(keys))
+
+    return _band_keys(vec)
+
+
 def rp_band_near_pairs(
     df: DataFrame,
     id_col: str,
@@ -205,29 +234,13 @@ def rp_band_near_pairs(
     planes = rp_planes(dim, n_planes, seed)
     # band rows carry ONLY (vid, band, bits): the candidate join never
     # shuffles a vector; vectors rejoin by uniform id after pair dedup.
-    # Band keys are computed per band inside the UDF (reshape + per-band bit
-    # weights) so n_planes may exceed 64 — for n_planes ≤ 63 the values are
-    # identical to extracting ``(sig >> band*width) & mask`` from the packed
-    # signature, which is what the SQL oracle does.
-    from pyspark.sql.types import ArrayType
-
-    planes_t = planes.T.copy()
-    band_weights = (1 << np.arange(width, dtype=np.int64))
-
-    @F.pandas_udf(ArrayType(LongType()))
-    def _band_keys(vs: pd.Series) -> pd.Series:
-        if len(vs) == 0:
-            return pd.Series([], dtype=object)
-        mat = np.array(vs.tolist(), dtype=np.float64)
-        bits = ((mat @ planes_t) > 0).astype(np.int64)  # (n, n_planes)
-        keys = bits.reshape(len(mat), bands, width) @ band_weights  # (n, bands)
-        return pd.Series(list(keys))
-
     from .dedup import _bucket_pairs
 
     sigrows = df.select(
         F.col(id_col).alias("doc_id"),
-        F.posexplode(_band_keys(F.col(vec_col))).alias("band", "bits"),
+        F.posexplode(rp_band_keys_column(F.col(vec_col), planes, bands)).alias(
+            "band", "bits"
+        ),
     )
     if cap_method == "auto":
         cap_method = "anti_join" if width <= 16 else "window"
@@ -295,6 +308,7 @@ def build_signature_index(
     *,
     n_planes: int = 16,
     seed: int = 42,
+    bands: int | None = None,
 ) -> None:
     """Persist the RP-LSH signature table ``(vec_id, sig)`` once (parquet).
 
@@ -305,25 +319,55 @@ def build_signature_index(
     sorted by sig so a probe's ``bit_count(xor) <= h`` scan benefits from
     row-group min/max locality on nearby buckets.  Plane metadata rides in
     a sidecar so probes can't silently mix plane sets.
+
+    ``bands=B`` additionally persists the BANDED layout ``bands/`` —
+    (band, bits, vec_id) sorted by (band, bits), the ``rp_band_near_pairs``
+    key space — probed by ``rp_band_topk_indexed`` with per-band EQUALITY
+    (an OR of B pushed equality filters over the sorted columns, so parquet
+    row-group stats prune the scan).  Multi-band equality is the
+    recall-at-10⁹ shape: a near neighbor only has to agree on ONE of B
+    narrow keys, instead of landing within a hamming ball of the single
+    packed signature, which pays per-candidate recall strictly better than
+    the hamming probe at the same candidate budget
+    (tests/test_signature_index.py measures both).  With bands set,
+    ``n_planes`` may exceed 62 (band keys are per-band longs); the packed
+    ``signatures/`` table is then written only when it still fits a long.
     """
     import json
     import os
 
+    if bands is not None and n_planes % bands:
+        raise ValueError("n_planes must divide evenly into bands")
     first = df.select(vec_col).first()
     dim = 0 if first is None else len(first[0])
     planes = rp_planes(dim, n_planes, seed) if dim else None
-    sigs = df.select(
-        F.col(id_col).alias("vec_id"),
-        (
-            rp_signature_column(F.col(vec_col), planes)
-            if dim
-            else F.lit(0).cast("long")
-        ).alias("sig"),
-    )
-    sigs.sort("sig", "vec_id").write.mode("overwrite").parquet(
-        os.path.join(out_dir, "signatures")
-    )
-    meta = {"n_planes": n_planes, "seed": seed, "dim": dim}
+    if n_planes <= 62:
+        sigs = df.select(
+            F.col(id_col).alias("vec_id"),
+            (
+                rp_signature_column(F.col(vec_col), planes)
+                if dim
+                else F.lit(0).cast("long")
+            ).alias("sig"),
+        )
+        sigs.sort("sig", "vec_id").write.mode("overwrite").parquet(
+            os.path.join(out_dir, "signatures")
+        )
+    elif bands is None:
+        raise ValueError("n_planes > 62 requires the banded layout (bands=...)")
+    if bands is not None:
+        brows = df.select(
+            F.col(id_col).alias("vec_id"),
+            F.posexplode(
+                rp_band_keys_column(F.col(vec_col), planes, bands)
+                if dim
+                else F.array().cast("array<long>")
+            ).alias("band", "bits"),
+        )
+        brows.repartitionByRange(max(1, bands), "band", "bits").sortWithinPartitions(
+            "band", "bits", "vec_id"
+        ).write.mode("overwrite").parquet(os.path.join(out_dir, "bands"))
+    meta = {"n_planes": n_planes, "seed": seed, "dim": dim, "bands": bands}
     with open(os.path.join(out_dir, "meta.json"), "w") as fh:
         json.dump(meta, fh, sort_keys=True)
 
@@ -457,3 +501,59 @@ def rp_lsh_topk_indexed_batch(
         .where(F.col("_rn") <= k)
         .select("query_id", "vec_id", "cosine")
     )
+
+
+def rp_band_topk_indexed(
+    spark,
+    index_dir: str,
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_vec: list[float],
+    k: int = 10,
+) -> DataFrame:
+    """Approximate cosine top-k against the BANDED persisted index.
+
+    Candidates are vectors agreeing with the query on ≥ 1 of the index's B
+    band keys: the probe is an OR of B ``(band = i AND bits = key_i)``
+    equality filters over the (band, bits)-sorted bands table — every
+    disjunct prunes by parquet row-group min/max stats, so the scan touches
+    ~B · bucket_size rows, never the corpus.  The surviving candidate ids
+    broadcast-join back to the vector table for exact scoring (same contract
+    as ``rp_lsh_topk_indexed``; at 10⁹+ vectors bucket-partition the vector
+    table by id so the join prunes files too).
+
+    Versus the single-signature hamming probe, multi-band equality buys
+    strictly better recall per candidate at scale: a near neighbor need only
+    survive ONE narrow band intact, rather than keep its TOTAL bit error
+    across the whole packed signature under h.
+    """
+    import json
+    import os
+
+    with open(os.path.join(index_dir, "meta.json")) as fh:
+        meta = json.load(fh)
+    bands = meta.get("bands")
+    if not bands:
+        raise ValueError(
+            "index was built without the banded layout — rebuild with "
+            "build_signature_index(..., bands=B) for band probes"
+        )
+    q = np.asarray(query_vec, dtype=np.float64)
+    if meta["dim"] and meta["dim"] != len(q):
+        raise ValueError(f"query dim {len(q)} != indexed dim {meta['dim']}")
+    planes = rp_planes(len(q), meta["n_planes"], meta["seed"])
+    width = meta["n_planes"] // bands
+    bits = ((planes @ q) > 0).astype(np.int64)
+    weights = 1 << np.arange(width, dtype=np.int64)
+    qkeys = bits.reshape(bands, width) @ weights
+    brows = spark.read.parquet(os.path.join(index_dir, "bands"))
+    probe = None
+    for i, key in enumerate(qkeys):
+        clause = (F.col("band") == i) & (F.col("bits") == int(key))
+        probe = clause if probe is None else (probe | clause)
+    cand = brows.where(probe).select(F.col("vec_id").alias("_cand_id")).distinct()
+    probed = vectors.join(
+        F.broadcast(cand), on=F.col(id_col) == F.col("_cand_id"), how="inner"
+    ).select(id_col, vec_col)
+    return cosine_topk(probed, id_col, vec_col, query_vec, k)

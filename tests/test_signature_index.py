@@ -115,3 +115,158 @@ def test_indexed_batch_matches_per_query(spark, vectors, sig_dir):
         ).count()
         == 0
     )
+
+
+# --- banded persisted layout -------------------------------------------------
+
+
+def _real_embeddings(spark):
+    return spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+
+
+def test_banded_probe_matches_numpy_reference(spark, vectors):
+    """Banded candidates = vectors agreeing on >= 1 band key; the probe's
+    exact-scored top-k must equal a numpy implementation of that set."""
+    from elasticsearch_aggregation_geoclustering_spark.extras.similarity import (
+        rp_band_topk_indexed,
+        rp_planes,
+    )
+
+    d = tempfile.mkdtemp(prefix="bandidx_")
+    try:
+        build_signature_index(
+            vectors, "vec_id", "embedding", d, n_planes=32, seed=42, bands=4
+        )
+        rows = sorted(
+            (r["vec_id"], r["embedding"]) for r in vectors.collect()
+        )
+        M = np.array([v for _, v in rows], dtype=np.float64)
+        ids = np.array([i for i, _ in rows], dtype=np.int64)
+        planes = rp_planes(M.shape[1], 32, 42)
+        bits = ((M @ planes.T) > 0).astype(np.int64)
+        keys = bits.reshape(len(M), 4, 8) @ (1 << np.arange(8, dtype=np.int64))
+        rng = np.random.default_rng(3)
+        for _ in range(3):
+            q = rng.normal(size=M.shape[1])
+            qb = ((planes @ q) > 0).astype(np.int64)
+            qk = qb.reshape(4, 8) @ (1 << np.arange(8, dtype=np.int64))
+            cand = np.flatnonzero((keys == qk).any(axis=1))
+            norm = np.linalg.norm
+            cos = (M[cand] @ q) / (norm(M[cand], axis=1) * norm(q))
+            order = np.lexsort((ids[cand], -cos))[:5]
+            expect = [(int(ids[cand][i]), float(cos[i])) for i in order]
+            got = rp_band_topk_indexed(
+                spark, d, vectors, "vec_id", "embedding", [float(x) for x in q], k=5
+            ).collect()
+            assert [(r["vec_id"], round(r["cosine"], 9)) for r in got] == [
+                (i, round(c, 9)) for i, c in expect
+            ]
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_banded_recall_at_equal_budget(spark):
+    """The banded probe's recall@20 must be >= the hamming probe's on the
+    real sf0.01 embeddings WITHOUT a larger candidate budget — the
+    recall-at-scale claim, measured not asserted from theory.
+
+    Parameters: hamming = 16 planes, h<=3 (~1.1% expected random-candidate
+    rate, measured 7.7 candidates/probe here); banded = 24 planes x 3 bands
+    (8-bit keys, 3/256 ~ 1.2%, measured 7.5 candidates/probe — the same
+    budget, slightly SMALLER).  Everything is deterministic (fixed planes
+    seed, fixed probe set, fixed data), so this is a pinned measurement,
+    not a statistical assertion."""
+    from elasticsearch_aggregation_geoclustering_spark.extras.similarity import (
+        rp_band_topk_indexed,
+    )
+
+    emb = _real_embeddings(spark)
+    rows = sorted((r["vec_id"], r["embedding"]) for r in emb.collect())
+    M = np.array([v for _, v in rows], dtype=np.float64)
+    ids = np.array([i for i, _ in rows], dtype=np.int64)
+    nrm = M / np.linalg.norm(M, axis=1, keepdims=True)
+
+    dh = tempfile.mkdtemp(prefix="hamidx_")
+    db = tempfile.mkdtemp(prefix="bandidx_")
+    try:
+        build_signature_index(emb, "vec_id", "embedding", dh, n_planes=16, seed=42)
+        build_signature_index(
+            emb, "vec_id", "embedding", db, n_planes=24, seed=42, bands=3
+        )
+        k = 20
+        rng = np.random.default_rng(0)
+        probe_ids = rng.choice(ids, 12, replace=False)
+        rec_h, rec_b = [], []
+        for pid in probe_ids:
+            qi = int(np.flatnonzero(ids == pid)[0])
+            q = [float(x) for x in M[qi]]
+            truth = ids[np.argsort(-(nrm @ nrm[qi]))]
+            truth = [t for t in truth if t != pid][:k]
+            got_h = [
+                r["vec_id"]
+                for r in rp_lsh_topk_indexed(
+                    spark, dh, emb, "vec_id", "embedding", q, k=k + 1,
+                    max_probe_hamming=3,
+                ).collect()
+                if r["vec_id"] != pid
+            ][:k]
+            got_b = [
+                r["vec_id"]
+                for r in rp_band_topk_indexed(
+                    spark, db, emb, "vec_id", "embedding", q, k=k + 1
+                ).collect()
+                if r["vec_id"] != pid
+            ][:k]
+            rec_h.append(len(set(got_h) & set(truth)) / k)
+            rec_b.append(len(set(got_b) & set(truth)) / k)
+        assert sum(rec_b) >= sum(rec_h)
+        # the candidate budget really is equal-or-smaller for the banded
+        # probe (mirror of the probes' pushed filters, computed in numpy)
+        from elasticsearch_aggregation_geoclustering_spark.extras.similarity import (
+            rp_planes,
+        )
+
+        ph = rp_planes(M.shape[1], 16, 42)
+        bits_h = (M @ ph.T) > 0
+        pb = rp_planes(M.shape[1], 24, 42)
+        bits_b = ((M @ pb.T) > 0).astype(np.int64)
+        keys = bits_b.reshape(len(M), 3, 8) @ (1 << np.arange(8, dtype=np.int64))
+        cand_h = cand_b = 0
+        for pid in probe_ids:
+            qi = int(np.flatnonzero(ids == pid)[0])
+            cand_h += int(((bits_h != bits_h[qi]).sum(1) <= 3).sum())
+            cand_b += int((keys == keys[qi]).any(axis=1).sum())
+        assert cand_b <= cand_h
+    finally:
+        shutil.rmtree(dh, ignore_errors=True)
+        shutil.rmtree(db, ignore_errors=True)
+
+
+def test_band_probe_requires_banded_layout(spark, vectors, sig_dir):
+    from elasticsearch_aggregation_geoclustering_spark.extras.similarity import (
+        rp_band_topk_indexed,
+    )
+
+    with pytest.raises(ValueError, match="banded layout"):
+        rp_band_topk_indexed(
+            spark, sig_dir, vectors, "vec_id", "embedding", [0.0] * 16, k=5
+        )
+
+
+def test_wide_planes_require_bands(spark, vectors):
+    d = tempfile.mkdtemp(prefix="wideidx_")
+    try:
+        with pytest.raises(ValueError, match="banded layout"):
+            build_signature_index(
+                vectors, "vec_id", "embedding", d, n_planes=128, seed=42
+            )
+        # with bands it works, and skips the unpackable signatures table
+        build_signature_index(
+            vectors, "vec_id", "embedding", d, n_planes=128, seed=42, bands=8
+        )
+        import os
+
+        assert os.path.isdir(os.path.join(d, "bands"))
+        assert not os.path.isdir(os.path.join(d, "signatures"))
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
