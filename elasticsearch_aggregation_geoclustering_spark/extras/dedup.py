@@ -701,12 +701,105 @@ def ngram_jaccard_pairs_minhash(
     )
 
 
+def _cc_star(edges: DataFrame, max_iterations: int) -> tuple[DataFrame, int]:
+    """Alternating large-star/small-star contraction (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14): O(log² n)
+    rounds on ANY graph shape — the path for graphs whose diameter defeats
+    min-label propagation (10⁸-node chains need 10⁸ propagation rounds but
+    ~log² star rounds).
+
+    large-star: every node connects its strictly-LARGER neighbors to the
+    minimum of its closed neighborhood; small-star (over the now
+    larger→smaller directed edges): every node connects its smaller
+    neighbors and itself to that minimum.  Both steps preserve
+    connectivity and strictly shrink potential; the fixpoint is a star
+    forest centered on each component's minimum node.  Each step is one
+    groupBy(min) + one join keyed by node id — uniform unless one
+    component IS the corpus; rounds are localCheckpoint'ed so lineage
+    stays flat.  Fixpoint detection: (edge count, edge hash-sum) pair —
+    one scalar agg per round, same trick as the propagation loop's
+    label-sum.
+
+    ``edges``: canonical (u, v) pairs with u > v, distinct.  Returns the
+    star edges (u → component root v) and the round count.
+
+    Job accounting: each round costs ONE Spark job — the round's edge set
+    is a LAZY localCheckpoint (``eager=False``), so the fixpoint signature
+    aggregation doubles as the action that materializes it, while the
+    logical plan still truncates every round (each round references its
+    input 4×, so an untruncated plan grows 4^rounds and OOMs the analyzer
+    long before the data does — measured).  A 1024-node chain resolves in
+    ~11 rounds / under 20 jobs (pinned by tests; AQE off there — adaptive
+    execution splits each shuffle materialization into its own job id,
+    inflating the COUNT but not the work).  Checkpoint blocks of
+    superseded rounds are released by Spark's ContextCleaner as the
+    DataFrame references drop (same contract as the propagation loop).
+    """
+    def star_step(e: DataFrame) -> DataFrame:
+        # Both joins get a shuffle_hash hint: the per-node min table is
+        # O(nodes) — the same order as the edge side — so a broadcast plan
+        # is wrong at scale AND costs a separate broadcast-collect job per
+        # join per round (measured: 5 jobs/round instead of 1).
+        # large-star over the symmetrized neighborhood
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        m = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        large = (
+            sym.join(m.hint("shuffle_hash"), on="u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star over larger→smaller directed edges; re-canonicalize the
+        # (neighbor, min) edges — both endpoints are below u, either order
+        m2 = large.groupBy("u").agg(F.min("v").alias("m"))
+        return (
+            large.join(m2.hint("shuffle_hash"), on="u")
+            .where(F.col("v") != F.col("m"))
+            .select(
+                F.greatest("v", "m").alias("u"), F.least("v", "m").alias("v")
+            )
+            .union(m2.select("u", F.col("m").alias("v")))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    E = edges.localCheckpoint()
+    prev = None
+    for rounds in range(1, max_iterations + 1):
+        # ONE alternating step per materialization.  Composing two steps
+        # before the checkpoint was measured WORSE: each un-materialized
+        # reference of the inner step re-executes its whole subtree
+        # (Catalyst only reuses textually identical exchanges, and the
+        # re-aliased references aren't), blowing one round's job up to
+        # ~140 stages.  One step per checkpoint keeps every subtree
+        # computed exactly once.
+        new_e = star_step(E).localCheckpoint(eager=False)
+        # (count, xor of row hashes): order-free, overflow-free (the edge
+        # set is distinct, so xor is a faithful set fingerprint); this agg
+        # IS the action that materializes the lazy checkpoint
+        sig = tuple(
+            new_e.agg(
+                F.count(F.lit(1)), F.bit_xor(F.xxhash64("u", "v"))
+            ).collect()[0]
+        )
+        E = new_e
+        if sig == prev:
+            return E, rounds
+        prev = sig
+    raise RuntimeError(
+        f"star contraction did not converge in {max_iterations} rounds"
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     *,
     max_iterations: int = 50,
+    method: str = "auto",
+    switch_after: int = 8,
 ) -> DataFrame:
     """Resolve near-duplicate PAIRS into clusters: ``(doc_id, component)``.
 
@@ -715,20 +808,31 @@ def connected_components(
     ``pairs`` are returned (every other doc is its own singleton; callers
     that need full coverage coalesce with the id).
 
-    Algorithm: iterative min-label propagation as pure DataFrame ops — each
-    round every node takes the min of its own label and its neighbors'
-    labels (one join keyed by edge source + one groupBy keyed by node, both
-    uniform unless one cluster IS the corpus), until a fixpoint.  Rounds
-    needed = graph diameter, which for near-duplicate graphs is tiny (dup
-    clusters are near-cliques: most pair generators emit a quadratic
-    candidate set within a bucket, so diameter ≈ 2-3; 10⁸-node chains would
-    instead want the O(log²) large-star/small-star contraction).  Each round
-    is localCheckpoint'ed: the label lineage would otherwise grow by two
-    shuffles per round and recompute from scratch on every action.
+    Algorithm (``method``):
+
+    - ``"propagation"``: iterative min-label propagation as pure DataFrame
+      ops — each round every node takes the min of its own label and its
+      neighbors' labels (one join keyed by edge source + one groupBy keyed
+      by node, both uniform unless one cluster IS the corpus), until a
+      fixpoint.  Rounds needed = graph diameter — ideal for near-duplicate
+      graphs (dup clusters are near-cliques: most pair generators emit a
+      quadratic candidate set within a bucket, so diameter ≈ 2-3).
+    - ``"star"``: the O(log²) alternating large-star/small-star contraction
+      (``_cc_star``) — the shape a 10⁸-node CHAIN graph needs (propagation
+      would take 10⁸ rounds there).
+    - ``"auto"`` (default): propagation for up to ``switch_after`` rounds
+      (the near-clique fast path, identical labels to before), then falls
+      back to star contraction from the original edges if the diameter
+      outran the budget.
+
+    Each round is localCheckpoint'ed: the lineage would otherwise grow by
+    two shuffles per round and recompute from scratch on every action.
     Convergence is detected by the label-sum fixpoint — labels only ever
     decrease, so an unchanged sum means an unchanged labeling — which costs
     one scalar agg per round instead of a self-join diff.
     """
+    if method not in ("auto", "propagation", "star"):
+        raise ValueError(f"method must be auto|propagation|star: {method}")
     fwd = pairs.select(
         F.col(a_col).cast("long").alias("src"), F.col(b_col).cast("long").alias("dst")
     )
@@ -748,7 +852,14 @@ def connected_components(
     if prev_sum is None:  # no pairs at all
         edges.unpersist()
         return labels.select(F.col("id").alias("doc_id"), "component")
-    for _ in range(max_iterations):
+    if method == "star":
+        prop_budget = 0
+    elif method == "auto":
+        prop_budget = min(switch_after, max_iterations)
+    else:
+        prop_budget = max_iterations
+    converged = False
+    for _ in range(prop_budget):
         msgs = edges.join(labels, edges["src"] == labels["id"]).select(
             F.col("dst").alias("id"), "component"
         )
@@ -760,13 +871,32 @@ def connected_components(
         )
         s = labels.agg(F.sum("component")).collect()[0][0]
         if s == prev_sum:
+            converged = True
             break
         prev_sum = s
-    else:
+    if not converged and method == "propagation":
+        edges.unpersist()
         raise RuntimeError(
             f"connected_components did not converge in {max_iterations} rounds"
-            " (graph diameter exceeds the cap — raise max_iterations or use a"
-            " star-contraction variant)"
+            " (graph diameter exceeds the cap — raise max_iterations or use"
+            " method='star'/'auto')"
+        )
+    if not converged:
+        canon = (
+            edges.where(F.col("src") > F.col("dst"))
+            .select(F.col("src").alias("u"), F.col("dst").alias("v"))
+            .distinct()
+        )
+        stars, _rounds = _cc_star(canon, max_iterations)
+        star_map = stars.select(
+            F.col("u").alias("id"), F.col("v").alias("_root")
+        )
+        labels = (
+            labels.select("id")
+            .join(star_map, on="id", how="left")
+            .select(
+                "id", F.coalesce(F.col("_root"), F.col("id")).alias("component")
+            )
         )
     edges.unpersist()
     return labels.select(F.col("id").alias("doc_id"), "component")

@@ -107,3 +107,80 @@ def test_dropped_bucket_stats_observability(spark):
     dropped = dedup.dropped_bucket_stats(buckets, ["band_key"], 5).collect()
     assert [(r["band_key"], r["n"]) for r in dropped] == [("bucket_a", 8)]
     assert dedup.dropped_bucket_stats(buckets, ["band_key"], 100).count() == 0
+
+
+def _union_find_labels(pairs):
+    """Independent reference: python union-find, min-id labels."""
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+@pytest.mark.parametrize("method", ["propagation", "star", "auto"])
+def test_cc_methods_match_union_find(spark, method):
+    import random
+
+    rng = random.Random(5)
+    pairs = set()
+    # mixed shapes: cliques, chains, stars, random edges
+    for base in (0, 40, 80):
+        ids = list(range(base, base + 8))
+        pairs |= {(a, b) for a in ids for b in ids if a < b and rng.random() < 0.5}
+    pairs |= {(200 + i, 201 + i) for i in range(30)}           # chain
+    pairs |= {(300, 300 + i) for i in range(1, 12)}            # star
+    pairs |= {(rng.randrange(400, 440), rng.randrange(400, 440)) for _ in range(25)}
+    pairs = [(a, b) for a, b in pairs if a != b]
+    df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    got = {
+        r["doc_id"]: r["component"]
+        for r in dedup.connected_components(df, method=method).collect()
+    }
+    assert got == _union_find_labels(pairs)
+
+
+def test_star_contraction_chain_1k_few_jobs(spark):
+    """A 1024-node chain (diameter 1023): min-label propagation would need
+    ~1023 rounds; star contraction must land it in < 20 Spark jobs."""
+    n = 1024
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    sc = spark.sparkContext
+    # AQE splits each shuffle materialization into its own job id, inflating
+    # the COUNT (not the work) ~5x; measure the engine's round structure
+    aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    sc.setJobGroup("cc_chain_star", "star contraction 1k chain")
+    try:
+        got = dedup.connected_components(df, method="star").collect()
+    finally:
+        sc.setJobGroup(None, None)
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)
+    jobs = sc.statusTracker().getJobIdsForGroup("cc_chain_star")
+    assert len(jobs) < 20, f"{len(jobs)} jobs"
+    assert len(got) == n
+    assert all(r["component"] == 0 for r in got)
+
+
+def test_auto_switches_to_star_on_deep_chain(spark):
+    """auto with a tiny propagation budget must still resolve a chain whose
+    diameter exceeds it (the silent-fallback path)."""
+    n = 200
+    df = spark.createDataFrame(
+        [(i + 1000, i + 1001) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    got = dedup.connected_components(df, method="auto", switch_after=3).collect()
+    assert len(got) == n and all(r["component"] == 1000 for r in got)
+    # propagation alone with the same budget fails loudly instead
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(df, method="propagation", max_iterations=3)
