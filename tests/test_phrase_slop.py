@@ -145,3 +145,32 @@ def test_phrase_search_sloppy_scores(index):
     dm = {r["doc_id"]: r["orig_id"] for r in index.docmap().collect()}
     scores = {dm[r["doc_id"]]: r["score"] for r in res}
     assert scores[2] > scores[1]
+
+
+def test_sloppy_phrase_excludes_tombstones(spark, index, tmp_path):
+    """Sloppy matches ride the same _live() tombstone anti-join as every
+    other query path — a deleted doc must drop out immediately."""
+    import shutil
+
+    from elasticsearch_aggregation_geoclustering_spark.plans.index_build import (
+        build_index,
+        delete_docs,
+    )
+
+    d = str(tmp_path / "slopdel")
+    docs = spark.createDataFrame(DOCS, "orig_id long, text string")
+    build_index(
+        spark, docs, d, content_col="text", key_cols=("orig_id",), docs_per_segment=3
+    )
+    idx = InvertedIndex.open(spark, d)
+    before = _engine_stats(idx, ["alpha", "beta"], 2)
+    assert 2 in before
+    victim = [
+        r["doc_id"] for r in idx.docmap().collect() if r["orig_id"] == 2
+    ]
+    delete_docs(spark, d, victim)
+    idx2 = InvertedIndex.open(spark, d)
+    after = _engine_stats(idx2, ["alpha", "beta"], 2)
+    assert 2 not in after
+    assert {k: v for k, v in before.items() if k != 2} == after
+    shutil.rmtree(d, ignore_errors=True)
