@@ -1103,6 +1103,54 @@ def upsert_index(
     )
 
 
+def tiered_merge_buckets(
+    index_dir: str,
+    *,
+    fanin: int = 8,
+    max_merged_bytes: int | None = None,
+) -> dict[int, int]:
+    """Size-aware merge grouping — Lucene TieredMergePolicy's goal under
+    this engine's docID-order invariant.
+
+    A blind ``seg_id // fanin`` grouping re-merges giants with mites: after
+    many ``append_index`` batches the segment size distribution is wildly
+    uneven, and rewriting a huge already-merged segment to absorb a tiny
+    fresh one costs its full byte volume every compaction (Lucene's merge
+    policy exists precisely to avoid this).  This planner greedily packs
+    the seg_id-ORDERED segment list into contiguous runs, closing a run
+    when it would exceed ``fanin`` members or ``max_merged_bytes`` combined
+    postings bytes; a segment that alone reaches ``max_merged_bytes`` stays
+    a singleton (it is re-encoded but not combined — merged output is
+    byte-stable for it).
+
+    Contiguity is NOT an implementation convenience: docIDs are never
+    remapped (unlike Lucene), so ``merge_segments``'s linear concat relies
+    on each group covering a contiguous, ordered seg_id range — an
+    arbitrary (Lucene-style) subset would interleave doc ranges and break
+    the strictly-increasing docID encode.  Sizes come from the manifest's
+    per-segment lineage (``postings_bytes``), no filesystem scan.
+    """
+    manifest = load_manifest(index_dir)
+    if manifest is None:
+        raise ValueError(f"no manifest at {index_dir}")
+    segs = {int(s): m for s, m in manifest.segments.items()}
+    for s, m in seg_store.load_manifest_parts(index_dir).items():
+        segs.setdefault(int(s), m)
+    buckets: dict[int, int] = {}
+    b, count, size = 0, 0, 0
+    for sid in sorted(segs):
+        sz = int(segs[sid]["postings_bytes"])
+        giant = max_merged_bytes is not None and sz >= max_merged_bytes
+        over = max_merged_bytes is not None and size + sz > max_merged_bytes
+        if count and (count >= fanin or giant or over):
+            b, count, size = b + 1, 0, 0
+        buckets[sid] = b
+        count, size = count + 1, size + sz
+        if giant:
+            b, count, size = b + 1, 0, 0
+    return buckets
+
+
 def merge_segments(
     spark: SparkSession,
     index_dir: str,
@@ -1110,15 +1158,19 @@ def merge_segments(
     *,
     fanin: int = 8,
     apply_deletes: bool = False,
+    buckets: dict[int, int] | None = None,
 ) -> None:
     """Merge segments ``fanin``-at-a-time into larger ones (H4).
 
     Groups by ``(term, merge_bucket)`` where ``merge_bucket = seg_id //
-    fanin`` — the bucket is the salt: a Zipf-hot term's postings stay split
+    fanin`` — or an explicit ``buckets`` mapping from
+    ``tiered_merge_buckets`` (size-aware compaction after uneven appends).
+    The bucket is the salt: a Zipf-hot term's postings stay split
     across buckets instead of landing on one reducer.  Because segment doc
     ranges are disjoint and ordered by seg_id, concatenating per-segment
     postings in seg_id order preserves global docID order, so re-encoding is
-    a linear concat, no re-sort.
+    a linear concat, no re-sort; explicit buckets must therefore be
+    CONTIGUOUS nondecreasing runs over the seg_id order (validated).
 
     ``apply_deletes=True`` compacts soft deletes away Lucene-style: rows of
     tombstoned docs are dropped while merging (ids/tfs/dls masked, position
@@ -1132,7 +1184,37 @@ def merge_segments(
         # legacy pre-positions segment layout: normalize to the current
         # schema with empty positional payloads (≡ index_options="freqs")
         postings = postings.withColumn("pos_vb", F.lit(b""))
-    bucketed = postings.withColumn("merge_bucket", (F.col("seg_id") / F.lit(fanin)).cast("long"))
+    if buckets is None:
+        bucket_expr = (F.col("seg_id") / F.lit(fanin)).cast("long")
+    else:
+        prev = None
+        for sid in sorted(buckets):
+            if prev is not None and buckets[sid] < prev:
+                raise ValueError(
+                    "merge buckets must be nondecreasing contiguous runs in"
+                    f" seg_id order (seg {sid}: bucket {buckets[sid]} < {prev})"
+                    " — docIDs are not remapped, so a non-contiguous group"
+                    " would interleave doc ranges"
+                )
+            prev = buckets[sid]
+        # literal map lookup: segment counts are thousands at most (each is
+        # docs_per_segment docs); swap for a broadcast join beyond that.
+        # A segment absent from the mapping fails loudly, not as a NULL key.
+        mapped = F.element_at(
+            F.create_map(
+                *[F.lit(x) for sid, b in sorted(buckets.items()) for x in (sid, b)]
+            ),
+            F.col("seg_id"),
+        )
+        bucket_expr = F.when(mapped.isNotNull(), mapped).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("segment missing from merge buckets: "),
+                    F.col("seg_id").cast("string"),
+                )
+            )
+        )
+    bucketed = postings.withColumn("merge_bucket", bucket_expr)
 
     deleted_bc = None
     if apply_deletes:
