@@ -12,6 +12,6 @@ its missing segments byte-identically on retry, and the streaming
 checkpoint prevents batch replays after commit.
 """
 
-from .ingest import stream_index
+from .ingest import stream_index, stream_upsert
 
-__all__ = ["stream_index"]
+__all__ = ["stream_index", "stream_upsert"]

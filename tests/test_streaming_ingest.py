@@ -170,3 +170,44 @@ def test_append_replay_is_idempotent(spark, corpus, tmp_path_factory):
     s2 = append_index(spark, spark.createDataFrame(p2), d)  # redelivery
     assert s1 == s2
     assert s2["n_docs"] == 200
+
+
+def test_stream_upsert_cdc(spark, corpus, tmp_path_factory):
+    """CDC-shaped streaming ingest: a second micro-batch that re-keys
+    existing docs supersedes them (old content tombstoned, new searchable),
+    while fresh keys append — end to end through readStream/foreachBatch."""
+    base = tmp_path_factory.mktemp("supsert")
+    src, ckpt, d = str(base / "in"), str(base / "ckpt"), str(base / "idx")
+    schema = "repo string, path string, commit string, lang string, content string, lon double, lat double"
+
+    from elasticsearch_aggregation_geoclustering_spark.streaming import stream_upsert
+
+    first = corpus.iloc[:40]
+    spark.createDataFrame(first).coalesce(1).write.mode("append").parquet(src)
+    stream_upsert(spark, src, d, schema=schema, checkpoint_dir=ckpt, num_partitions=2)
+
+    # batch 2: re-key 5 existing docs with sentinel content + 5 fresh docs
+    changed = first.iloc[:5].copy()
+    changed["content"] = [
+        f"cdc_updated sentinel row {i}" for i in range(len(changed))
+    ]
+    fresh = corpus.iloc[40:45]
+    import pandas as pd
+
+    spark.createDataFrame(pd.concat([changed, fresh])).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    stream_upsert(spark, src, d, schema=schema, checkpoint_dir=ckpt, num_partitions=2)
+
+    idx = InvertedIndex.open(spark, d)
+    # updated content matches exactly the re-keyed docs
+    assert idx.match_count(["cdc_updated"]) == 5
+    # each re-keyed doc's ORIGINAL unique sentinel no longer matches
+    for i in range(5):
+        assert idx.match_count([f"uniq_{i}"]) == 0
+    # untouched and fresh docs still match their sentinels
+    for i in list(range(5, 40)) + list(range(40, 45)):
+        assert idx.match_count([f"uniq_{i}"]) == 1, i
+    # docmap holds both generations for the 5 re-keyed keys
+    dm = idx.docmap()
+    assert dm.count() == 45 + 5
