@@ -571,6 +571,9 @@ def _q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk.select("vec_id", F.round("cosine", 6).alias("cosine"))
 
 
+RP_BANDS = 4
+
+
 def _sig_index_for(spark: SparkSession, sf_dir: str) -> str:
     """Build (once) the persisted RP-LSH signature index for an sf dir.
 
@@ -579,15 +582,28 @@ def _sig_index_for(spark: SparkSession, sf_dir: str) -> str:
     _index_for's fingerprinting."""
     fp = _source_fingerprint(os.path.join(sf_dir, "embeddings.parquet"))
     key = hashlib.md5(
-        f"sig|{os.path.realpath(sf_dir)}|{RP_N_PLANES}|{RP_SEED}|{fp}".encode()
+        f"sig|{os.path.realpath(sf_dir)}|{RP_N_PLANES}|{RP_SEED}|b{RP_BANDS}|{fp}".encode()
     ).hexdigest()[:16]
     sig_dir = os.path.join(_CACHE_ROOT, key)
     if not os.path.exists(os.path.join(sig_dir, "meta.json")):
         similarity.build_signature_index(
             _embeddings(spark, sf_dir), "vec_id", "embedding", sig_dir,
-            n_planes=RP_N_PLANES, seed=RP_SEED,
+            n_planes=RP_N_PLANES, seed=RP_SEED, bands=RP_BANDS,
         )
     return sig_dir
+
+
+def _q_ann_band_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded persisted-index probe: OR-of-band-equality pushed into the
+    (band, bits)-sorted bands parquet, broadcast candidate join, exact
+    cosine — the recall-at-scale ANN shape."""
+    sig_dir = _sig_index_for(spark, sf_dir)
+    emb = _embeddings(spark, sf_dir)
+    qv = _query_vec(spark, sf_dir)
+    topk = similarity.rp_band_topk_indexed(
+        spark, sig_dir, emb, "vec_id", "embedding", qv, k=ANN_K
+    )
+    return topk.select("vec_id", F.round("cosine", 6).alias("cosine"))
 
 
 def _q_ann_lsh_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -699,6 +715,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": _q_embedding_near_dup,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_lsh_indexed_topk": _q_ann_lsh_indexed_topk,
+        "ann_band_indexed_topk": _q_ann_band_indexed_topk,
         # training-data pipeline: text analysis + multimodal plumbing
         "text_token_count": _q_text_token_count,
         "text_quality": _q_text_quality,
@@ -1051,6 +1068,11 @@ limit {ANN_K}
             similarity.rp_planes(EMB_DIM, RP_N_PLANES, RP_SEED),
             k=ANN_K,
             max_probe_hamming=RP_PROBE_HAMMING,
+        ),
+        "ann_band_indexed_topk": osql.rp_band_topk_sql(
+            similarity.rp_planes(EMB_DIM, RP_N_PLANES, RP_SEED),
+            k=ANN_K,
+            bands=RP_BANDS,
         ),
         "text_token_count": f"select doc_id, len({toks})::INT as n_tokens from documents",
         "text_quality": f"""

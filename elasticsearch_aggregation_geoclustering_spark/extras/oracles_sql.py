@@ -602,6 +602,44 @@ limit {k}
 """
 
 
+def rp_band_topk_sql(
+    planes,
+    *,
+    k: int,
+    bands: int,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+    query_id: int = 0,
+) -> str:
+    """similarity.rp_band_topk_indexed: candidates agree with the query on
+    >= 1 band key (band key = ``(sig >> band*width) & mask``, identical to
+    the Spark band UDF for n_planes <= 63), exact cosine, top-k."""
+    n_planes = len(planes)
+    width = n_planes // bands
+    mask = (1 << width) - 1
+    cos = cosine_sql(vec, "qv")
+    return f"""
+with {rp_sig_ctes(planes, table, id_col, vec)},
+chunks as (
+  select vec_id, j as band, (sig >> (j * {width})) & {mask} as bits
+  from sigs cross join (select unnest(range(0, {bands})) as j) bj
+),
+q as (select {vec} as qv from {table} where {id_col} = {query_id}),
+qchunks as (select band, bits from chunks where vec_id = {query_id}),
+cand as (select distinct c.vec_id from chunks c join qchunks using (band, bits)),
+probed as (
+  select e.{id_col} as vec_id, e.{vec} as {vec}
+  from {table} e join cand on cand.vec_id = e.{id_col}
+),
+scored as (select vec_id, {cos} as c from probed cross join q)
+select vec_id, round(c, 6) as cosine
+from scored
+order by c desc, vec_id asc
+limit {k}
+"""
+
+
 def rp_band_near_pairs_sql(
     planes,
     *,
