@@ -309,6 +309,26 @@ def _q_geo_hits_total_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame([(n,)], "hits long")
 
 
+GEO_DIST_CENTER = (2.35, 48.85)  # lon, lat
+GEO_DIST_RADIUS_M = 800_000.0
+
+
+def _q_geo_hits_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES geo_distance query hit count: literal bbox pushdown + exact JVM
+    haversine refine (Lucene newDistanceQuery structure)."""
+    from elasticsearch_aggregation_geoclustering_spark.operators.clustering import (
+        geo_distance_filter,
+    )
+
+    n = geo_distance_filter(
+        _event_points(spark, sf_dir),
+        center_lon=GEO_DIST_CENTER[0],
+        center_lat=GEO_DIST_CENTER[1],
+        radius_m=GEO_DIST_RADIUS_M,
+    ).count()
+    return spark.createDataFrame([(n,)], "hits long")
+
+
 def _q_geo_clustering_paris(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = spark.createDataFrame(_PARIS_POINTS, "doc_id long, lon double, lat double")
     result = geo_point_clustering(pts, zoom=GEO_ZOOM)
@@ -685,6 +705,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_multipoint_z5": _q_geo_multipoint,
         "geo_cell_metrics_z5": _q_geo_cell_metrics,
         "geo_hits_total_bbox": _q_geo_hits_total_bbox,
+        "geo_hits_distance": _q_geo_hits_distance,
         "geo_clustering_paris_z9": _q_geo_clustering_paris,
         "geo_es_exact_z9": _q_geo_es_exact_z9,
         # inverted index + BM25 query engine (SURVEY.md §2.2, north_rule)
@@ -971,6 +992,17 @@ with pts as (
 select count(*)::BIGINT as hits from pts
 where lon >= {BBOX['lon_min']} and lon <= {BBOX['lon_max']}
   and lat >= {BBOX['lat_min']} and lat <= {BBOX['lat_max']}
+""",
+        "geo_hits_distance": f"""
+with pts as (
+  select {osql.EVENT_LON_SQL} as lon, {osql.EVENT_LAT_SQL} as lat from events
+)
+select count(*)::BIGINT as hits from pts
+where 2.0 * 6371008.7714 * asin(least(1.0, sqrt((
+    (1.0 - cos(radians(lat) - radians({GEO_DIST_CENTER[1]})))
+    + cos(radians(lat)) * cos(radians({GEO_DIST_CENTER[1]}))
+      * (1.0 - cos(radians(lon - ({GEO_DIST_CENTER[0]}))))
+  ) * 0.5))) <= {GEO_DIST_RADIUS_M}
 """,
         "bm25_topk_or": _bm25_sql(TERMS_OR, "OR"),
         "bm25_topk_and": _bm25_sql(TERMS_AND, "AND"),

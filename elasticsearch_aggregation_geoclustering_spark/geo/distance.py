@@ -46,3 +46,25 @@ def latitude_corrected_radius(radius_m: float, lat1, lat2):
     """
     avg_lat = (np.asarray(lat1, dtype=np.float64) + np.asarray(lat2, dtype=np.float64)) / 2.0
     return radius_m * np.cos(np.radians(avg_lat))
+
+
+def arc_distance_column(lat1, lon1, lat2, lon2):
+    """``arc_distance`` as a pure-JVM Spark Column (whole-stage codegen).
+
+    Same expression tree as the numpy version — R·2·asin(min(1, √(h/2))) on
+    the Lucene mean radius — so the two agree to double precision; binary
+    threshold decisions near an exact boundary can differ in the last ulp
+    between math libraries, which is why oracle rows pick radii off any
+    exact point distance.
+    """
+    from pyspark.sql import functions as F
+
+    x1 = F.radians(lat1)
+    x2 = F.radians(lat2)
+    h = (
+        (F.lit(1.0) - F.cos(x1 - x2))
+        + F.cos(x1) * F.cos(x2) * (F.lit(1.0) - F.cos(F.radians(lon1 - lon2)))
+    )
+    return F.lit(EARTH_MEAN_RADIUS) * F.lit(2.0) * F.asin(
+        F.least(F.lit(1.0), F.sqrt(h * F.lit(0.5)))
+    )

@@ -562,3 +562,55 @@ def clusters_to_dataframe(spark: SparkSession, result: ClusteringResult) -> Data
         for c in result.clusters
     ]
     return spark.createDataFrame(data, _RESULT_SCHEMA)
+
+
+def geo_distance_filter(
+    df: DataFrame,
+    *,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    center_lon: float,
+    center_lat: float,
+    radius_m: float,
+) -> DataFrame:
+    """ES ``geo_distance`` query: rows within ``radius_m`` of a center.
+
+    The filter the clustering aggregation composes with (the reference runs
+    over "documents matching the query" — GeoPointClusteringAggregator
+    receives the query's doc set; ``geo_bounding_box`` is covered by plain
+    ``.where`` range predicates, this adds the radius form).
+
+    Shape: a LITERAL bounding-box pre-filter — computed driver-side from
+    the radius, so both range predicates push into the parquet scan's
+    row-group stats — then the exact haversine (pure JVM trig, whole-stage
+    codegen) refines, exactly Lucene LatLonPoint.newDistanceQuery's
+    bbox-then-haversine structure.  Near the poles or across the
+    antimeridian the lon band is dropped (kept correct by the exact
+    predicate; only the pre-filter selectivity degrades, as in Lucene).
+    """
+    import math as _math
+
+    from ..geo.distance import EARTH_MEAN_RADIUS, arc_distance_column
+
+    if radius_m < 0:
+        raise ValueError(f"radius_m must be >= 0: {radius_m}")
+    dlat = _math.degrees(radius_m / EARTH_MEAN_RADIUS)
+    lat_lo, lat_hi = center_lat - dlat, center_lat + dlat
+    out = df.where(
+        (F.col(lat_col) >= F.lit(lat_lo)) & (F.col(lat_col) <= F.lit(lat_hi))
+    )
+    # widest |lat| in the band decides the lon shrink; skip the lon band if
+    # it would wrap or the band touches a pole
+    max_abs_lat = min(90.0, max(abs(lat_lo), abs(lat_hi)))
+    cos_lat = _math.cos(_math.radians(max_abs_lat))
+    if lat_lo > -90.0 and lat_hi < 90.0 and cos_lat > 1e-9:
+        dlon = _math.degrees(radius_m / (EARTH_MEAN_RADIUS * cos_lat))
+        if center_lon - dlon >= -180.0 and center_lon + dlon <= 180.0:
+            out = out.where(
+                (F.col(lon_col) >= F.lit(center_lon - dlon))
+                & (F.col(lon_col) <= F.lit(center_lon + dlon))
+            )
+    dist = arc_distance_column(
+        F.col(lat_col), F.col(lon_col), F.lit(center_lat), F.lit(center_lon)
+    )
+    return out.where(dist <= F.lit(radius_m))

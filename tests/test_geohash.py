@@ -186,3 +186,81 @@ def test_jvm_cell_expr_rejects_precision_12():
 
     with _pytest.raises(ValueError):
         geohash_expr.cell_expr(F.col("lon"), F.col("lat"), 12)
+
+
+def test_geo_distance_filter_matches_numpy(spark):
+    """bbox-prefiltered haversine filter == brute-force numpy haversine on
+    a deterministic scatter, incl. a pole-adjacent and a wrap-adjacent
+    center (where the lon prefilter must drop, not wrongly exclude)."""
+    import numpy as np
+
+    from elasticsearch_aggregation_geoclustering_spark.geo.distance import (
+        arc_distance,
+    )
+    from elasticsearch_aggregation_geoclustering_spark.operators.clustering import (
+        geo_distance_filter,
+    )
+
+    rng = np.random.default_rng(3)
+    lon = rng.uniform(-180, 180, 4000)
+    lat = rng.uniform(-89.9, 89.9, 4000)
+    df = spark.createDataFrame(
+        [(int(i), float(lon[i]), float(lat[i])) for i in range(lon.size)],
+        "id long, lon double, lat double",
+    )
+    cases = [
+        (2.35, 48.85, 1_200_000.0),   # ordinary
+        (179.5, 10.0, 500_000.0),     # antimeridian-adjacent: lon band drops
+        (0.0, 89.0, 400_000.0),       # pole-adjacent: lon band drops
+        (0.0, 0.0, 30_000.0),         # tiny radius (empty or near-empty)
+    ]
+    for clon, clat, r in cases:
+        want = {
+            int(i)
+            for i in np.flatnonzero(arc_distance(lat, lon, clat, clon) <= r)
+        }
+        got = {
+            row["id"]
+            for row in geo_distance_filter(
+                df, center_lon=clon, center_lat=clat, radius_m=r
+            ).collect()
+        }
+        assert got == want, (clon, clat, r)
+
+
+def test_geo_distance_filter_pushes_bbox(spark):
+    """The literal bbox prefilter must reach the parquet scan."""
+    import os
+    import shutil
+    import tempfile
+
+    from elasticsearch_aggregation_geoclustering_spark.operators.clustering import (
+        geo_distance_filter,
+    )
+
+    d = tempfile.mkdtemp(prefix="geodist_")
+    try:
+        spark.range(1000).selectExpr(
+            "id",
+            "cast((id % 360) - 180.0 as double) as lon",
+            "cast((id % 170) / 2.0 - 42.0 as double) as lat",
+        ).write.mode("overwrite").parquet(d)
+        flt = geo_distance_filter(
+            spark.read.parquet(d), center_lon=10.0, center_lat=20.0, radius_m=500_000.0
+        )
+        # PushedFilters is scan metadata, truncated at
+        # spark.sql.maxMetadataStringLength chars by default
+        old_len = spark.conf.get("spark.sql.maxMetadataStringLength", "100")
+        spark.conf.set("spark.sql.maxMetadataStringLength", "4000")
+        try:
+            plan = flt._jdf.queryExecution().executedPlan().toString()
+        finally:
+            spark.conf.set("spark.sql.maxMetadataStringLength", old_len)
+        assert "PushedFilters" in plan
+        import re
+
+        pushed = re.search(r"PushedFilters: \[([^\]]*)", plan).group(1)
+        assert "GreaterThanOrEqual(lat" in pushed and "LessThanOrEqual(lat" in pushed
+        assert "GreaterThanOrEqual(lon" in pushed and "LessThanOrEqual(lon" in pushed
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
