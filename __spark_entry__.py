@@ -613,6 +613,36 @@ def _sig_index_for(spark: SparkSession, sf_dir: str) -> str:
     return sig_dir
 
 
+IVF_N_LISTS = 16
+IVF_NPROBE = 4
+
+
+def _ivf_index_for(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once) the IVF-flat index for an sf dir; same cache scheme as
+    the signature index."""
+    fp = _source_fingerprint(os.path.join(sf_dir, "embeddings.parquet"))
+    key = hashlib.md5(
+        f"ivf|{os.path.realpath(sf_dir)}|{IVF_N_LISTS}|{fp}".encode()
+    ).hexdigest()[:16]
+    ivf_dir = os.path.join(_CACHE_ROOT, key)
+    if not os.path.exists(os.path.join(ivf_dir, "meta.json")):
+        similarity.build_ivf_index(
+            _embeddings(spark, sf_dir), "vec_id", "embedding", ivf_dir,
+            n_lists=IVF_N_LISTS,
+        )
+    return ivf_dir
+
+
+def _q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat probe: nprobe/n_lists of the corpus scanned via a pushed
+    list_id IN filter over the list-sorted layout, vectors carried in the
+    lists (no corpus join), exact cosine top-k."""
+    ivf_dir = _ivf_index_for(spark, sf_dir)
+    qv = _query_vec(spark, sf_dir)
+    topk = similarity.ivf_topk(spark, ivf_dir, qv, k=ANN_K, nprobe=IVF_NPROBE)
+    return topk.select("vec_id", F.round("cosine", 6).alias("cosine"))
+
+
 def _q_ann_band_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded persisted-index probe: OR-of-band-equality pushed into the
     (band, bits)-sorted bands parquet, broadcast candidate join, exact
@@ -737,6 +767,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_lsh_indexed_topk": _q_ann_lsh_indexed_topk,
         "ann_band_indexed_topk": _q_ann_band_indexed_topk,
+        "ann_ivf_topk": _q_ann_ivf_topk,
         # training-data pipeline: text analysis + multimodal plumbing
         "text_token_count": _q_text_token_count,
         "text_quality": _q_text_quality,
@@ -1100,6 +1131,9 @@ limit {ANN_K}
             similarity.rp_planes(EMB_DIM, RP_N_PLANES, RP_SEED),
             k=ANN_K,
             max_probe_hamming=RP_PROBE_HAMMING,
+        ),
+        "ann_ivf_topk": osql.ivf_topk_sql(
+            n_lists=IVF_N_LISTS, nprobe=IVF_NPROBE, k=ANN_K
         ),
         "ann_band_indexed_topk": osql.rp_band_topk_sql(
             similarity.rp_planes(EMB_DIM, RP_N_PLANES, RP_SEED),

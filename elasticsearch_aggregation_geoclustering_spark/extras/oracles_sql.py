@@ -551,6 +551,50 @@ def cosine_sql(vec_a: str, vec_b: str) -> str:
 # --- random-hyperplane LSH (extras/similarity.py) ----------------------------
 
 
+def ivf_topk_sql(
+    *,
+    n_lists: int,
+    nprobe: int,
+    k: int,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+    query_id: int = 0,
+) -> str:
+    """similarity.build_ivf_index + ivf_topk: coarse centers = the n_lists
+    smallest-id corpus vectors; assignment = argmax cosine (tie → smallest
+    center index); probe the nprobe nearest lists; exact cosine top-k."""
+    cc = cosine_sql("e." + vec, "c.cvec")
+    qc = cosine_sql("c.cvec", "qv")
+    fc = cosine_sql(vec, "qv")
+    return f"""
+with centers as (
+  select {id_col} as cid, {vec} as cvec,
+         row_number() over (order by {id_col}) - 1 as list_idx
+  from {table} order by {id_col} limit {n_lists}
+),
+q as (select {vec} as qv from {table} where {id_col} = {query_id}),
+scored_centers as (
+  select e.{id_col} as vec_id, e.{vec} as {vec}, c.list_idx, {cc} as ccos
+  from {table} e cross join centers c
+),
+assign as (
+  select vec_id, {vec}, list_idx from (
+    select *, row_number() over (
+      partition by vec_id order by ccos desc, list_idx asc) as rn
+    from scored_centers) t where rn = 1
+),
+qprobe as (
+  select c.list_idx from centers c cross join q
+  order by {qc} desc, c.list_idx asc limit {nprobe}
+),
+cand as (select a.vec_id, a.{vec} from assign a join qprobe using (list_idx)),
+scored as (select vec_id, {fc} as cs from cand cross join q)
+select vec_id, round(cs, 6) as cosine
+from scored order by cs desc, vec_id asc limit {k}
+"""
+
+
 def rp_sig_ctes(planes, table: str = "embeddings", id_col: str = "vec_id", vec: str = "embedding") -> str:
     """CTE chain ending in ``sigs(vec_id, sig)`` — the sign-bit RP-LSH
     signature from the SAME plane matrix similarity.rp_planes produced

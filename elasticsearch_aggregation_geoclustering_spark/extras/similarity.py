@@ -557,3 +557,108 @@ def rp_band_topk_indexed(
         F.broadcast(cand), on=F.col(id_col) == F.col("_cand_id"), how="inner"
     ).select(id_col, vec_col)
     return cosine_topk(probed, id_col, vec_col, query_vec, k)
+
+
+def build_ivf_index(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    out_dir: str,
+    *,
+    n_lists: int = 16,
+) -> None:
+    """Persist an IVF-flat index: vectors bucketed by nearest coarse center.
+
+    The second scale path next to RP-LSH: at probe time only ``nprobe`` of
+    the ``n_lists`` inverted lists are scanned (~nprobe/n_lists of the
+    corpus), and each list row CARRIES its vector, so probes never join
+    back to the corpus table at all — the classic IVF-flat layout.
+
+    Coarse centers are the ``n_lists`` corpus vectors with the SMALLEST ids
+    — a deterministic, SQL-reproducible choice (ids carry no spatial
+    meaning, so this is random-vector center seeding, the standard IVF
+    baseline; a k-means refinement would balance list sizes but changes
+    nothing structural).  Assignment = argmin cosine distance to the
+    centers (ties → smallest center id), computed in one Arrow matmul per
+    batch.  Layout: ``lists/`` parquet (list_id, vec_id, vec) range-
+    partitioned and sorted by list_id so a probe's ``list_id IN (...)``
+    prunes at row-group level; ``centers/`` parquet holds the center
+    vectors for probe-time scoring.
+    """
+    import os
+
+    centers_df = (
+        df.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
+        .orderBy("cid")
+        .limit(n_lists)
+    )
+    centers = centers_df.collect()
+    if not centers:
+        raise ValueError("cannot build an IVF index over an empty corpus")
+    cmat = np.array([r["cvec"] for r in centers], dtype=np.float64)
+    cnorm = np.sqrt(np.einsum("ij,ij->i", cmat, cmat))
+
+    from pyspark.sql.types import IntegerType
+
+    @F.pandas_udf(IntegerType())
+    def _assign(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series(np.empty(0, dtype=np.int32))
+        mat = np.array(vs.tolist(), dtype=np.float64)
+        norms = np.sqrt(np.einsum("ij,ij->i", mat, mat))
+        cos = (mat @ cmat.T) / (norms[:, None] * cnorm[None, :])
+        # argmin of cosine DISTANCE = argmax cosine; numpy takes the first
+        # (= smallest center index = smallest cid, centers are id-sorted)
+        return pd.Series(np.argmax(cos, axis=1).astype(np.int32))
+
+    rows = df.select(
+        _assign(F.col(vec_col)).alias("list_id"),
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("vec"),
+    )
+    rows.repartitionByRange(max(1, n_lists // 4), "list_id").sortWithinPartitions(
+        "list_id", "vec_id"
+    ).write.mode("overwrite").parquet(os.path.join(out_dir, "lists"))
+    centers_df.write.mode("overwrite").parquet(os.path.join(out_dir, "centers"))
+    import json
+
+    with open(os.path.join(out_dir, "meta.json"), "w") as fh:
+        json.dump({"n_lists": n_lists, "kind": "ivf_flat"}, fh, sort_keys=True)
+
+
+def ivf_topk(
+    spark,
+    index_dir: str,
+    query_vec: list[float],
+    k: int = 10,
+    *,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Approximate cosine top-k against an IVF-flat index: (vec_id, cosine).
+
+    Driver-side: score the query against the ≤ n_lists centers (tiny
+    collect, cached parquet) and pick the ``nprobe`` nearest lists (ties →
+    smaller center index).  Executor-side: ONE scan of the lists parquet
+    with ``list_id IN (...)`` pushed to row-group stats — ~nprobe/n_lists
+    of the corpus — then exact cosine + TakeOrderedAndProject.  With
+    ``nprobe = n_lists`` results equal the brute-force top-k exactly.
+    """
+    import json
+    import os
+
+    with open(os.path.join(index_dir, "meta.json")) as fh:
+        meta = json.load(fh)
+    if meta.get("kind") != "ivf_flat":
+        raise ValueError(f"not an IVF index: {index_dir}")
+    centers = spark.read.parquet(os.path.join(index_dir, "centers")).orderBy("cid").collect()
+    cmat = np.array([r["cvec"] for r in centers], dtype=np.float64)
+    q = np.asarray(query_vec, dtype=np.float64)
+    if cmat.shape[1] != q.size:
+        raise ValueError(f"query dim {q.size} != indexed dim {cmat.shape[1]}")
+    cos = (cmat @ q) / (
+        np.sqrt(np.einsum("ij,ij->i", cmat, cmat)) * np.sqrt(q @ q)
+    )
+    probe = np.argsort(-cos, kind="stable")[: max(1, nprobe)]
+    lists = spark.read.parquet(os.path.join(index_dir, "lists"))
+    cand = lists.where(F.col("list_id").isin([int(i) for i in probe]))
+    return cosine_topk(cand, "vec_id", "vec", query_vec, k)

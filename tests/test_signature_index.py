@@ -270,3 +270,97 @@ def test_wide_planes_require_bands(spark, vectors):
         assert not os.path.isdir(os.path.join(d, "signatures"))
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+# --- IVF-flat ----------------------------------------------------------------
+
+
+def test_ivf_full_probe_equals_bruteforce(spark, vectors):
+    """nprobe = n_lists scans every list → must equal brute-force top-k."""
+    from elasticsearch_aggregation_geoclustering_spark.extras.similarity import (
+        build_ivf_index,
+        cosine_topk,
+        ivf_topk,
+    )
+
+    d = tempfile.mkdtemp(prefix="ivfidx_")
+    try:
+        build_ivf_index(vectors, "vec_id", "embedding", d, n_lists=8)
+        rng = np.random.default_rng(9)
+        for _ in range(3):
+            q = [float(x) for x in rng.normal(size=16)]
+            want = [
+                (r["vec_id"], round(r["cosine"], 9))
+                for r in cosine_topk(vectors, "vec_id", "embedding", q, 7).collect()
+            ]
+            got = [
+                (r["vec_id"], round(r["cosine"], 9))
+                for r in ivf_topk(spark, d, q, k=7, nprobe=8).collect()
+            ]
+            assert got == want
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_ivf_partial_probe_matches_numpy_mirror(spark, vectors):
+    """nprobe < n_lists: candidates = members of the nprobe nearest lists,
+    reproduced independently in numpy (same centers-by-smallest-id rule)."""
+    from elasticsearch_aggregation_geoclustering_spark.extras.similarity import (
+        build_ivf_index,
+        ivf_topk,
+    )
+
+    d = tempfile.mkdtemp(prefix="ivfidx2_")
+    try:
+        n_lists, nprobe, k = 8, 3, 6
+        build_ivf_index(vectors, "vec_id", "embedding", d, n_lists=n_lists)
+        rows = sorted((r["vec_id"], r["embedding"]) for r in vectors.collect())
+        ids = np.array([i for i, _ in rows])
+        M = np.array([v for _, v in rows], dtype=np.float64)
+        cmat = M[np.argsort(ids)[:n_lists]]  # smallest ids are the centers
+        nrm = lambda A: A / np.linalg.norm(A, axis=-1, keepdims=True)
+        assign = np.argmax(nrm(M) @ nrm(cmat).T, axis=1)
+        rng = np.random.default_rng(5)
+        for _ in range(3):
+            q = rng.normal(size=16)
+            probe = np.argsort(-(nrm(cmat) @ q / np.linalg.norm(q)), kind="stable")[:nprobe]
+            cand = np.isin(assign, probe)
+            cos = nrm(M[cand]) @ (q / np.linalg.norm(q))
+            order = np.lexsort((ids[cand], -cos))[:k]
+            want = [(int(ids[cand][i]), round(float(cos[i]), 9)) for i in order]
+            got = [
+                (r["vec_id"], round(r["cosine"], 9))
+                for r in ivf_topk(spark, d, [float(x) for x in q], k=k, nprobe=nprobe).collect()
+            ]
+            assert got == want
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_ivf_probe_prunes_scan_and_errors(spark, vectors):
+    from elasticsearch_aggregation_geoclustering_spark.extras.similarity import (
+        build_ivf_index,
+        ivf_topk,
+    )
+
+    d = tempfile.mkdtemp(prefix="ivfidx3_")
+    try:
+        build_ivf_index(vectors, "vec_id", "embedding", d, n_lists=8)
+        df = ivf_topk(spark, d, [0.1] * 16, k=5, nprobe=2)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "In(list_id" in plan or "list_id IN" in plan  # pushed probe
+        with pytest.raises(ValueError, match="dim"):
+            ivf_topk(spark, d, [0.1] * 7, k=5)
+        with pytest.raises(ValueError, match="IVF"):
+            bad = tempfile.mkdtemp(prefix="notivf_")
+            try:
+                import json
+                import os
+
+                with open(os.path.join(bad, "meta.json"), "w") as fh:
+                    json.dump({"kind": "other"}, fh)
+                ivf_topk(spark, bad, [0.1] * 16, k=5)
+            finally:
+                shutil.rmtree(bad, ignore_errors=True)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
