@@ -225,6 +225,17 @@ def main() -> None:
     # 16-bit keys) — what the operator ships with; r3 benched only the
     # narrow driver-gate params (16 values/band), whose few-distinct-key
     # window was a self-inflicted skew, not the operator's cost
+    # IVF-flat: the third ANN path (coarse lists, vectors carried in-list)
+    ivf_dir = tempfile.mkdtemp(prefix="bench_ivf_")
+    t0 = time.perf_counter()
+    similarity.build_ivf_index(emb, "vec_id", "embedding", ivf_dir, n_lists=16)
+    extra["ivf_index_build_sec"] = round(time.perf_counter() - t0, 4)
+    timed(
+        "ann_ivf_topk",
+        lambda: similarity.ivf_topk(spark, ivf_dir, qv, k=10, nprobe=4).collect(),
+    )
+    shutil.rmtree(ivf_dir, ignore_errors=True)
+
     timed(
         "ann_band_near_dup",
         lambda: similarity.rp_band_near_pairs(
