@@ -443,6 +443,24 @@ def _q_phrase_slop_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MSM = 2
+
+
+def _q_match_count_msm2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES bool minimum_should_match: docs holding >= 2 of the OR terms."""
+    n = _index_for(spark, sf_dir).match_count(TERMS_OR, minimum_should_match=MSM)
+    return spark.createDataFrame([(n,)], "hits long")
+
+
+def _q_bm25_topk_msm2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    index = _index_for(spark, sf_dir)
+    topk = index.search(TERMS_OR, k=TOPK, minimum_should_match=MSM)
+    ids = index.docmap().select("doc_id", "orig_id")
+    return topk.join(ids, on="doc_id").select(
+        F.col("orig_id").alias("doc_id"), F.round("score", 5).alias("score")
+    )
+
+
 def _q_match_count_or(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _index_for(spark, sf_dir).match_count(TERMS_OR, mode="OR")
     return spark.createDataFrame([(n,)], "hits long")
@@ -744,6 +762,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_direct_topk": _q_bm25_direct,
         "bm25_batch_topk": _q_bm25_batch,
         "match_count_or": _q_match_count_or,
+        "match_count_msm2": _q_match_count_msm2,
+        "bm25_topk_msm2": _q_bm25_topk_msm2,
         "match_count_and": _q_match_count_and,
         "phrase_match_count": _q_phrase_match_count,
         "phrase_topk": _q_phrase_topk,
@@ -926,9 +946,11 @@ order by cell desc limit {plan.size}
 """
 
 
-def _bm25_sql(terms: list[str], mode: str) -> str:
+def _bm25_sql(terms: list[str], mode: str, msm: int | None = None) -> str:
     ctes = osql.bm25_scores_cte(terms=terms)
     and_filter = f"where nterms = {len(set(terms))}" if mode == "AND" else ""
+    if msm is not None:
+        and_filter = f"where nterms >= {msm}"
     # order by the UNROUNDED score (scored.score, not the round(...,5) alias)
     # — Spark ranks on the exact score before rounding, and at the LIMIT k
     # boundary two distinct exact scores that round equal must not flip rows
@@ -941,9 +963,11 @@ limit {TOPK}
 """
 
 
-def _match_count_sql(terms: list[str], mode: str) -> str:
+def _match_count_sql(terms: list[str], mode: str, msm: int | None = None) -> str:
     ctes = osql.bm25_scores_cte(terms=terms)
     and_filter = f"where nterms = {len(set(terms))}" if mode == "AND" else ""
+    if msm is not None:
+        and_filter = f"where nterms >= {msm}"
     return f"with {ctes} select count(*)::BIGINT as hits from scored {and_filter}"
 
 
@@ -1045,6 +1069,8 @@ where 2.0 * 6371008.7714 * asin(least(1.0, sqrt((
             "select 1::INT as query_id, * from (" + _bm25_sql(TERMS_AND, "OR") + ") q1"
         ),
         "match_count_or": _match_count_sql(TERMS_OR, "OR"),
+        "match_count_msm2": _match_count_sql(TERMS_OR, "OR", msm=MSM),
+        "bm25_topk_msm2": _bm25_sql(TERMS_OR, "OR", msm=MSM),
         "match_count_and": _match_count_sql(TERMS_AND, "AND"),
         "phrase_match_count": (
             f"with {osql.phrase_scores_cte(phrase=PHRASE)}\n"

@@ -250,21 +250,38 @@ class InvertedIndex:
 
     # --- queries ----------------------------------------------------------
 
-    def match_count(self, terms: list[str], mode: str = "OR") -> int:
-        """hits.total for a term / AND / OR query (H6)."""
+    def match_count(
+        self,
+        terms: list[str],
+        mode: str = "OR",
+        minimum_should_match: int | None = None,
+    ) -> int:
+        """hits.total for a term / AND / OR query (H6).
+
+        ``minimum_should_match`` is the ES bool parameter of the same name:
+        a doc matches iff it contains at least that many DISTINCT query
+        terms (AND ≡ len(terms), OR ≡ 1 — both special cases).
+        """
         terms = sorted(set(terms))
         if not terms:
             return 0
+        msm = minimum_should_match
+        if msm is None:
+            msm = len(terms) if mode.upper() == "AND" else 1
+        if not 1 <= msm <= len(terms):
+            raise ValueError(
+                f"minimum_should_match must be in 1..{len(terms)}: {msm}"
+            )
         if len(terms) == 1 and self.deleted_ids() is None:
             # fast path: df is precomputed (df counts tombstoned docs, so it
             # only answers hit counts while the index has no soft deletes)
             return self.df_of(terms).get(terms[0], 0)
         rows = self._live(self.term_doc_rows(terms))
-        if mode.upper() == "AND":
+        if msm > 1:
             return (
                 rows.groupBy("doc_id")
                 .agg(F.count_distinct("term").alias("nt"))
-                .where(F.col("nt") == len(terms))
+                .where(F.col("nt") >= msm)
                 .count()
             )
         return rows.select("doc_id").distinct().count()
@@ -275,8 +292,14 @@ class InvertedIndex:
         k: int = 10,
         mode: str = "OR",
         params: bm25.Bm25Params = bm25.Bm25Params(),
+        minimum_should_match: int | None = None,
     ) -> DataFrame:
-        """BM25 top-k: DataFrame (doc_id, score) ranked, ≤ k rows (H7/H8)."""
+        """BM25 top-k: DataFrame (doc_id, score) ranked, ≤ k rows (H7/H8).
+
+        ``minimum_should_match``: ES bool semantics — keep docs matching at
+        least that many distinct query terms; scoring is unchanged (the
+        matched terms' BM25 contributions still sum), exactly as in ES.
+        """
         terms = sorted(set(terms))
         df_map = self.df_of(terms)
         idfs = bm25.idf_map(self.n_docs, df_map)
@@ -308,8 +331,15 @@ class InvertedIndex:
             ).alias("score"),
             F.count(F.lit(1)).alias("_nterms"),
         )
-        if mode.upper() == "AND":
-            agg = agg.where(F.col("_nterms") == len(terms))
+        msm = minimum_should_match
+        if msm is None:
+            msm = len(terms) if mode.upper() == "AND" else 1
+        if not 1 <= msm <= len(terms):
+            raise ValueError(
+                f"minimum_should_match must be in 1..{len(terms)}: {msm}"
+            )
+        if msm > 1:
+            agg = agg.where(F.col("_nterms") >= msm)
         return agg.select("doc_id", "score").orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
     def search_batch(

@@ -91,3 +91,42 @@ def test_batch_respects_deletes(spark, index):
         assert all(r["doc_id"] not in victim for r in got)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_minimum_should_match_semantics(spark, tmp_path):
+    """ES bool minimum_should_match: msm=1 == OR, msm=len == AND, msm=2 is
+    strictly between; scores unchanged (matched-term contributions sum)."""
+    from elasticsearch_aggregation_geoclustering_spark.plans.index_build import (
+        build_index,
+    )
+    from elasticsearch_aggregation_geoclustering_spark.plans.query import InvertedIndex
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma"),
+            (1, "alpha beta"),
+            (2, "alpha"),
+            (3, "beta"),
+            (4, "gamma delta"),
+            (5, "delta"),
+        ],
+        "orig_id long, text string",
+    )
+    d = str(tmp_path / "msmidx")
+    build_index(spark, docs, d, content_col="text", key_cols=("orig_id",), docs_per_segment=2)
+    idx = InvertedIndex.open(spark, d)
+    terms = ["alpha", "beta", "gamma"]
+    assert idx.match_count(terms, minimum_should_match=1) == idx.match_count(terms, "OR") == 5
+    assert idx.match_count(terms, minimum_should_match=3) == idx.match_count(terms, "AND") == 1
+    assert idx.match_count(terms, minimum_should_match=2) == 2  # docs 0, 1
+    # search: msm filters but does not rescore
+    full = {r["doc_id"]: r["score"] for r in idx.search(terms, k=10).collect()}
+    msm2 = {r["doc_id"]: r["score"] for r in idx.search(terms, k=10, minimum_should_match=2).collect()}
+    assert set(msm2) < set(full)
+    assert all(full[d_] == s_ for d_, s_ in msm2.items())
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="minimum_should_match"):
+        idx.match_count(terms, minimum_should_match=4)
+    with _pytest.raises(ValueError, match="minimum_should_match"):
+        idx.search(terms, minimum_should_match=0).collect()
