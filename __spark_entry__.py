@@ -461,6 +461,23 @@ def _q_bm25_topk_msm2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_bm25_explain_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES _explain for the top-1 doc of the OR query: per-term BM25
+    breakdown (term, tf, idf, contribution); contributions sum to the
+    doc's search score by construction."""
+    index = _index_for(spark, sf_dir)
+    top = index.search(TERMS_OR, k=1).collect()
+    if not top:
+        return spark.createDataFrame(
+            [], "term string, tf long, idf double, contribution double"
+        )
+    exp = index.explain(top[0]["doc_id"], TERMS_OR)
+    return exp.select(
+        "term", "tf", F.round("idf", 6).alias("idf"),
+        F.round("contribution", 5).alias("contribution"),
+    )
+
+
 def _q_match_count_or(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _index_for(spark, sf_dir).match_count(TERMS_OR, mode="OR")
     return spark.createDataFrame([(n,)], "hits long")
@@ -763,6 +780,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_batch_topk": _q_bm25_batch,
         "match_count_or": _q_match_count_or,
         "match_count_msm2": _q_match_count_msm2,
+        "bm25_explain_top1": _q_bm25_explain_top1,
         "bm25_topk_msm2": _q_bm25_topk_msm2,
         "match_count_and": _q_match_count_and,
         "phrase_match_count": _q_phrase_match_count,
@@ -1070,6 +1088,12 @@ where 2.0 * 6371008.7714 * asin(least(1.0, sqrt((
         ),
         "match_count_or": _match_count_sql(TERMS_OR, "OR"),
         "match_count_msm2": _match_count_sql(TERMS_OR, "OR", msm=MSM),
+        "bm25_explain_top1": (
+            f"with {osql.bm25_scores_cte(terms=TERMS_OR)},\n"
+            "top1 as (select doc_id from scored order by score desc, doc_id asc limit 1)\n"
+            "select c.term, c.tf, round(c.idf, 6) as idf, round(c.w, 5) as contribution\n"
+            "from contrib c join top1 using (doc_id)"
+        ),
         "bm25_topk_msm2": _bm25_sql(TERMS_OR, "OR", msm=MSM),
         "match_count_and": _match_count_sql(TERMS_AND, "AND"),
         "phrase_match_count": (

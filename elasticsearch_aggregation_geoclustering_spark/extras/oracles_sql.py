@@ -337,7 +337,8 @@ tf as (
 ),
 dfreq as (select term, count(*)::BIGINT as df from tf group by term),
 contrib as (
-  select tf.doc_id,
+  select tf.doc_id, tf.term, tf.tf, dl.dl,
+         ln(1.0 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5)) as idf,
          ln(1.0 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
            * (tf.tf::DOUBLE / (tf.tf::DOUBLE + {k1} * (1.0 - {b} + {b} * dl.dl::DOUBLE / stats.avgdl)))
            as w

@@ -607,6 +607,43 @@ class InvertedIndex:
         scored = occ.select("doc_id", (F.lit(idf_sum) * (tf_d / denom)).alias("score"))
         return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
+    def explain(
+        self,
+        doc_id: int,
+        terms: list[str],
+        params: bm25.Bm25Params = bm25.Bm25Params(),
+    ) -> DataFrame:
+        """ES ``_explain``: per-term BM25 breakdown for ONE document.
+
+        Returns (term, tf, dl, idf, contribution) with ``sum(contribution)``
+        exactly the doc's ``search`` score (same expression tree).  The
+        posting scan is term-pruned AND doc-filtered, so this reads the
+        query terms' cells only — the debugging surface ES exposes per hit.
+        """
+        terms = sorted(set(terms))
+        df_map = self.df_of(terms)
+        idfs = bm25.idf_map(self.n_docs, df_map)
+        rows = self._live(
+            self.term_doc_rows([t for t in terms if t in df_map], params.lucene_norms)
+        ).where(F.col("doc_id") == doc_id)
+        if not df_map:
+            return self.spark.createDataFrame(
+                [], "term string, tf long, dl long, idf double, contribution double"
+            )
+        idf_expr: Column = F.element_at(
+            F.create_map(*[F.lit(x) for t in idfs for x in (t, idfs[t])]), F.col("term")
+        )
+        tf_d = F.col("tf").cast("double")
+        dl_d = F.col("dl").cast("double")
+        denom = tf_d + F.lit(params.k1) * (
+            F.lit(1.0) - F.lit(params.b) + F.lit(params.b) * dl_d / F.lit(self.avgdl)
+        )
+        return rows.select(
+            "term", "tf", "dl",
+            idf_expr.alias("idf"),
+            (idf_expr * (tf_d / denom)).alias("contribution"),
+        )
+
     def search_with_docs(self, terms: list[str], k: int = 10, mode: str = "OR", **kw) -> DataFrame:
         """Top-k joined back to the docmap (broadcast the tiny top-k side)."""
         topk = self.search(terms, k, mode, **kw)

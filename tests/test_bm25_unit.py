@@ -137,3 +137,39 @@ def test_oracle_tie_break_by_doc_id():
     res = bm25.score_topk_numpy(postings, dls, 6, 3.0, ["t"], k=2)
     assert [d for d, _ in res] == [2, 5]
     assert res[0][1] == res[1][1]
+
+
+def test_explain_contributions_sum_to_score(spark, tmp_path):
+    """ES _explain parity: per-term contributions sum EXACTLY to the doc's
+    search score (same expression tree, deterministic fold)."""
+    from elasticsearch_aggregation_geoclustering_spark.plans.index_build import (
+        build_index,
+    )
+    from elasticsearch_aggregation_geoclustering_spark.plans.query import InvertedIndex
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma alpha"),
+            (1, "alpha beta"),
+            (2, "gamma delta alpha"),
+            (3, "beta beta beta"),
+        ],
+        "orig_id long, text string",
+    )
+    d = str(tmp_path / "expidx")
+    build_index(spark, docs, d, content_col="text", key_cols=("orig_id",), docs_per_segment=2)
+    idx = InvertedIndex.open(spark, d)
+    terms = ["alpha", "beta", "gamma"]
+    for row in idx.search(terms, k=10).collect():
+        exp = idx.explain(row["doc_id"], terms).collect()
+        assert exp, row
+        # deterministic fold order in search = sorted by term; python sum
+        # over the sorted terms reproduces it bit for bit
+        total = 0.0
+        for e in sorted(exp, key=lambda r: r["term"]):
+            total += e["contribution"]
+        assert total == row["score"], (row, exp)
+    # absent term contributes nothing; unknown doc -> empty
+    assert idx.explain(10**9, terms).count() == 0
+    only_missing = idx.explain(0, ["zzz_absent"])
+    assert only_missing.count() == 0
