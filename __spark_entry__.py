@@ -494,6 +494,43 @@ def _q_term_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     return index.term_stats().where(F.col("term").isin(terms)).select("term", "df")
 
 
+TERMS_AGG_N = 20
+
+
+def _q_terms_agg_matched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES terms aggregation over the HITS of a bool query: the top-N tokens
+    by document frequency among docs matching all TERMS_AND (the facet
+    panel every search UI renders).  Plan: posting-intersection match via
+    the index, broadcast the matched-id set onto the documents table (hits
+    << corpus), one tokenize+explode groupBy — no forward index needed.
+    Deterministic order: df desc, term asc."""
+    from elasticsearch_aggregation_geoclustering_spark.functions.tokenizer import (
+        tokenize_column,
+    )
+
+    index = _index_for(spark, sf_dir)
+    rows = index.term_doc_rows(TERMS_AND)
+    matched = (
+        rows.groupBy("doc_id")
+        .agg(F.count_distinct("term").alias("nt"))
+        .where(F.col("nt") == len(set(TERMS_AND)))
+        .select("doc_id")
+    )
+    ids = index.docmap().join(F.broadcast(matched), on="doc_id").select("orig_id")
+    docs = _docs(spark, sf_dir).join(
+        F.broadcast(ids), on=F.col("doc_id") == F.col("orig_id")
+    )
+    toks = docs.select(
+        "doc_id", F.explode(F.array_distinct(tokenize_column(F.col("text")))).alias("term")
+    )
+    agg = toks.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        agg.orderBy(F.desc("df"), F.asc("term"))
+        .limit(TERMS_AGG_N)
+        .select("term", "df")
+    )
+
+
 def _q_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     index = _index_for(spark, sf_dir)
     stats_path = os.path.join(index.index_dir, "stats.json")
@@ -788,6 +825,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_slop_count": _q_phrase_slop_count,
         "phrase_slop_topk": _q_phrase_slop_topk,
         "term_df": _q_term_df,
+        "terms_agg_matched": _q_terms_agg_matched,
         "index_stats": _q_index_stats,
         "docmap_sha256": _q_docmap_sha256,
         # training-data pipeline: dedup
@@ -981,6 +1019,10 @@ limit {TOPK}
 """
 
 
+def _sql_list(terms: list[str]) -> str:
+    return ", ".join("'" + t.replace("'", "''") + "'" for t in sorted(set(terms)))
+
+
 def _match_count_sql(terms: list[str], mode: str, msm: int | None = None) -> str:
     ctes = osql.bm25_scores_cte(terms=terms)
     and_filter = f"where nterms = {len(set(terms))}" if mode == "AND" else ""
@@ -1114,6 +1156,18 @@ where 2.0 * 6371008.7714 * asin(least(1.0, sqrt((
             "select doc_id, round(score, 5) as score from scored\n"
             f"order by scored.score desc, doc_id asc limit {TOPK}"
         ),
+        "terms_agg_matched": f"""
+with toks as (select doc_id, unnest({toks}) as term from documents),
+matched as (
+  select doc_id from toks where term in ({_sql_list(TERMS_AND)})
+  group by doc_id having count(distinct term) = {len(set(TERMS_AND))}
+),
+hit_terms as (
+  select distinct t.doc_id, t.term from toks t join matched using (doc_id)
+)
+select term, count(*)::BIGINT as df from hit_terms
+group by term order by df desc, term asc limit {TERMS_AGG_N}
+""",
         "term_df": f"""
 with toks as (select doc_id, unnest({toks}) as term from documents)
 select term, count(distinct doc_id)::BIGINT as df
