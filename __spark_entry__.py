@@ -488,6 +488,23 @@ def _q_match_count_and(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame([(n,)], "hits long")
 
 
+FUZZY_TERM = "table"  # one edit from "table"
+PREFIX = "cust"
+
+
+def _q_fuzzy_match_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES fuzzy query: Levenshtein<=1 dictionary expansion -> OR match."""
+    n = _index_for(spark, sf_dir).fuzzy_match_count(FUZZY_TERM, fuzziness=1)
+    return spark.createDataFrame([(n,)], "hits long")
+
+
+def _q_prefix_match_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES prefix query: term-dictionary seek (pushed StringStartsWith) ->
+    OR match over the expansion."""
+    n = _index_for(spark, sf_dir).prefix_match_count(PREFIX)
+    return spark.createDataFrame([(n,)], "hits long")
+
+
 def _q_term_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     index = _index_for(spark, sf_dir)
     terms = sorted(set(TERMS_OR + TERMS_AND))
@@ -826,6 +843,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_slop_topk": _q_phrase_slop_topk,
         "term_df": _q_term_df,
         "terms_agg_matched": _q_terms_agg_matched,
+        "fuzzy_match_count": _q_fuzzy_match_count,
+        "prefix_match_count": _q_prefix_match_count,
         "index_stats": _q_index_stats,
         "docmap_sha256": _q_docmap_sha256,
         # training-data pipeline: dedup
@@ -1156,6 +1175,16 @@ where 2.0 * 6371008.7714 * asin(least(1.0, sqrt((
             "select doc_id, round(score, 5) as score from scored\n"
             f"order by scored.score desc, doc_id asc limit {TOPK}"
         ),
+        "fuzzy_match_count": f"""
+with toks as (select doc_id, unnest({toks}) as term from documents)
+select count(distinct doc_id)::BIGINT as hits from toks
+where levenshtein(term, '{FUZZY_TERM}') <= 1
+""",
+        "prefix_match_count": f"""
+with toks as (select doc_id, unnest({toks}) as term from documents)
+select count(distinct doc_id)::BIGINT as hits from toks
+where term like '{PREFIX}%'
+""",
         "terms_agg_matched": f"""
 with toks as (select doc_id, unnest({toks}) as term from documents),
 matched as (

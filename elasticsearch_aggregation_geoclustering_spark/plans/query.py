@@ -607,6 +607,47 @@ class InvertedIndex:
         scored = occ.select("doc_id", (F.lit(idf_sum) * (tf_d / denom)).alias("score"))
         return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
+    def expand_prefix(self, prefix: str) -> list[str]:
+        """Dictionary terms starting with ``prefix`` (ES prefix query
+        expansion).  ``startswith`` pushes into the term-sorted term_stats
+        parquet as a StringStartsWith row-group filter — the analog of
+        Lucene's term-dictionary seek."""
+        if not prefix:
+            raise ValueError("prefix must be non-empty")
+        rows = self.term_stats().where(F.col("term").startswith(prefix)).collect()
+        return sorted(r["term"] for r in rows)
+
+    def expand_fuzzy(self, term: str, fuzziness: int = 1) -> list[str]:
+        """Dictionary terms within Levenshtein distance ``fuzziness`` (ES
+        fuzzy query expansion; like ES, distance-0 prefix sharing isn't
+        required).  One JVM ``levenshtein`` scan over the term dictionary —
+        fine while dictionaries are millions of terms; a 10⁸-term
+        source-code dictionary would want an n-gram secondary index (the
+        automaton-intersection analog), noted not built."""
+        if fuzziness < 0:
+            raise ValueError(f"fuzziness must be >= 0: {fuzziness}")
+        rows = (
+            self.term_stats()
+            .where(F.levenshtein(F.col("term"), F.lit(term)) <= fuzziness)
+            .collect()
+        )
+        return sorted(r["term"] for r in rows)
+
+    def prefix_match_count(self, prefix: str) -> int:
+        """hits.total for an ES ``prefix`` query: docs containing ANY term
+        with the prefix (expansion → OR match)."""
+        terms = self.expand_prefix(prefix)
+        if not terms:
+            return 0
+        return self.match_count(terms, "OR")
+
+    def fuzzy_match_count(self, term: str, fuzziness: int = 1) -> int:
+        """hits.total for an ES ``fuzzy`` query (expansion → OR match)."""
+        terms = self.expand_fuzzy(term, fuzziness)
+        if not terms:
+            return 0
+        return self.match_count(terms, "OR")
+
     def explain(
         self,
         doc_id: int,

@@ -130,3 +130,48 @@ def test_minimum_should_match_semantics(spark, tmp_path):
         idx.match_count(terms, minimum_should_match=4)
     with _pytest.raises(ValueError, match="minimum_should_match"):
         idx.search(terms, minimum_should_match=0).collect()
+
+
+def test_fuzzy_and_prefix_queries(spark, tmp_path):
+    from elasticsearch_aggregation_geoclustering_spark.plans.index_build import (
+        build_index,
+    )
+    from elasticsearch_aggregation_geoclustering_spark.plans.query import InvertedIndex
+
+    docs = spark.createDataFrame(
+        [
+            (0, "table cable stable"),
+            (1, "tables fable"),
+            (2, "tbale"),          # transposition = distance 2
+            (3, "chair bench"),
+            (4, "tab tables"),
+        ],
+        "orig_id long, text string",
+    )
+    d = str(tmp_path / "fuzidx")
+    build_index(spark, docs, d, content_col="text", key_cols=("orig_id",), docs_per_segment=2)
+    idx = InvertedIndex.open(spark, d)
+    # distance-1 neighborhood of "table": cable, fable, stable (prepend s),
+    # table, tables
+    assert sorted(idx.expand_fuzzy("table", 1)) == [
+        "cable", "fable", "stable", "table", "tables"
+    ]
+    assert idx.fuzzy_match_count("table", 1) == 3  # docs 0, 1, 4
+    # Levenshtein counts transposition as 2 (plain edit distance, no
+    # Damerau): "tbale" joins at fuzziness=2
+    assert idx.fuzzy_match_count("table", 2) >= 4
+    assert idx.expand_prefix("tab") == ["tab", "table", "tables"]
+    assert idx.prefix_match_count("tab") == 3  # docs 0, 1, 4
+    assert idx.prefix_match_count("zz") == 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="prefix"):
+        idx.expand_prefix("")
+    with _pytest.raises(ValueError, match="fuzziness"):
+        idx.expand_fuzzy("table", -1)
+    # the prefix expansion's filter reaches the term_stats scan
+    plan = (
+        idx.term_stats().where(__import__("pyspark.sql.functions", fromlist=["col"]).col("term").startswith("tab"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "StringStartsWith" in plan
