@@ -505,6 +505,50 @@ def _q_prefix_match_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame([(n,)], "hits long")
 
 
+# scored expansions (ES top_terms_N rewrite): a SHORT prefix with a SMALL
+# cap so the max_expansions budget actually binds inside the hash-checked
+# gate (the documents vocabulary holds six s-terms; the cap keeps the top
+# three by df)
+PREFIX_SCORED = "s"
+PREFIX_MAX_EXP = 3
+WILDCARD = "s?a*"  # scan, small, spark — ? = one char, * = any run
+REGEXP = "(sc|sp)a[a-z]+"  # scan, spark
+
+
+def _q_prefix_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scored ES prefix query: capped df-ranked expansion (top_terms_N
+    rewrite), each expanded term scoring with its own idf in a bool OR."""
+    index = _index_for(spark, sf_dir)
+    topk = index.prefix_search(PREFIX_SCORED, k=TOPK, max_expansions=PREFIX_MAX_EXP)
+    ids = index.docmap().select("doc_id", "orig_id")
+    return topk.join(ids, on="doc_id").select(
+        F.col("orig_id").alias("doc_id"), F.round("score", 5).alias("score")
+    )
+
+
+def _q_fuzzy_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scored ES fuzzy query (Levenshtein<=1 expansion, capped, OR-scored)."""
+    index = _index_for(spark, sf_dir)
+    topk = index.fuzzy_search(FUZZY_TERM, fuzziness=1, k=TOPK)
+    ids = index.docmap().select("doc_id", "orig_id")
+    return topk.join(ids, on="doc_id").select(
+        F.col("orig_id").alias("doc_id"), F.round("score", 5).alias("score")
+    )
+
+
+def _q_wildcard_match_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES wildcard query (constant_score: LIKE pushed into the postings
+    scan, full expansion, no driver term collect)."""
+    n = _index_for(spark, sf_dir).wildcard_match_count(WILDCARD)
+    return spark.createDataFrame([(n,)], "hits long")
+
+
+def _q_regexp_match_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES regexp query (whole-term anchored, evaluated in the postings scan)."""
+    n = _index_for(spark, sf_dir).regexp_match_count(REGEXP)
+    return spark.createDataFrame([(n,)], "hits long")
+
+
 def _q_term_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     index = _index_for(spark, sf_dir)
     terms = sorted(set(TERMS_OR + TERMS_AND))
@@ -845,6 +889,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "terms_agg_matched": _q_terms_agg_matched,
         "fuzzy_match_count": _q_fuzzy_match_count,
         "prefix_match_count": _q_prefix_match_count,
+        "prefix_topk": _q_prefix_topk,
+        "fuzzy_topk": _q_fuzzy_topk,
+        "wildcard_match_count": _q_wildcard_match_count,
+        "regexp_match_count": _q_regexp_match_count,
         "index_stats": _q_index_stats,
         "docmap_sha256": _q_docmap_sha256,
         # training-data pipeline: dedup
@@ -1184,6 +1232,34 @@ where levenshtein(term, '{FUZZY_TERM}') <= 1
 with toks as (select doc_id, unnest({toks}) as term from documents)
 select count(distinct doc_id)::BIGINT as hits from toks
 where term like '{PREFIX}%'
+""",
+        "prefix_topk": (
+            "with "
+            + osql.bm25_scores_cte(
+                term_filter_sql=f"term like '{PREFIX_SCORED}%'",
+                max_expansions=PREFIX_MAX_EXP,
+            )
+            + "\nselect doc_id, round(score, 5) as score from scored\n"
+            f"order by scored.score desc, doc_id asc limit {TOPK}"
+        ),
+        "fuzzy_topk": (
+            "with "
+            + osql.bm25_scores_cte(
+                term_filter_sql=f"levenshtein(term, '{FUZZY_TERM}') <= 1",
+                max_expansions=50,
+            )
+            + "\nselect doc_id, round(score, 5) as score from scored\n"
+            f"order by scored.score desc, doc_id asc limit {TOPK}"
+        ),
+        "wildcard_match_count": f"""
+with toks as (select doc_id, unnest({toks}) as term from documents)
+select count(distinct doc_id)::BIGINT as hits from toks
+where term like 's_a%'
+""",
+        "regexp_match_count": f"""
+with toks as (select doc_id, unnest({toks}) as term from documents)
+select count(distinct doc_id)::BIGINT as hits from toks
+where regexp_matches(term, '^(?:{REGEXP})$')
 """,
         "terms_agg_matched": f"""
 with toks as (select doc_id, unnest({toks}) as term from documents),

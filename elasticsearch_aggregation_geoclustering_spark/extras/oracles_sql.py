@@ -312,28 +312,54 @@ def bm25_scores_cte(
     id_col: str = "doc_id",
     text: str = "text",
     *,
-    terms: list[str],
+    terms: list[str] | None = None,
+    term_filter_sql: str | None = None,
+    max_expansions: int | None = None,
     k1: float = 1.2,
     b: float = 0.75,
 ) -> str:
     """CTE chain computing per-doc BM25 scores for ``terms`` (OR semantics),
     exposing ``scored(doc_id, score, nterms)``.  Mirrors functions/bm25.py:
     idf = ln(1+(N-df+0.5)/(df+0.5)), w = tf/(tf + k1*(1-b+b*dl/avgdl)),
-    N counts ALL docs, avgdl = total tokens / N."""
+    N counts ALL docs, avgdl = total tokens / N.
+
+    Instead of a literal term list, pass ``term_filter_sql`` (a predicate
+    over a column named ``term``, e.g. ``"term like 's%'"``) plus
+    ``max_expansions`` to mirror the engine's multi-term ``top_terms_N``
+    rewrite: the query terms become the ``max_expansions`` matching
+    dictionary terms with the highest df (ties by term ascending — the same
+    total order InvertedIndex._expand_terms sorts by)."""
     toks = tokens_sql(text)
-    term_list = ", ".join("'" + t.replace("'", "''") + "'" for t in sorted(set(terms)))
+    if (terms is None) == (term_filter_sql is None):
+        raise ValueError("pass exactly one of terms / term_filter_sql")
+    if terms is not None:
+        term_list = ", ".join(
+            "'" + t.replace("'", "''") + "'" for t in sorted(set(terms))
+        )
+        expansion = ""
+        tf_where = f"where term in ({term_list})"
+    else:
+        limit = "" if max_expansions is None else f" limit {max_expansions}"
+        expansion = f"""expansion as (
+  select term from (
+    select term, count(distinct doc_id)::BIGINT as df from toks
+    where {term_filter_sql} group by term
+  ) order by df desc, term asc{limit}
+),
+"""
+        tf_where = "where term in (select term from expansion)"
     return f"""
 toks as (
   select {id_col} as doc_id, unnest({toks}) as term from {table}
 ),
-dl as (select doc_id, count(*)::BIGINT as dl from toks group by doc_id),
+{expansion}dl as (select doc_id, count(*)::BIGINT as dl from toks group by doc_id),
 stats as (
   select (select count(*) from {table})::BIGINT as n,
          (select count(*) from toks)::DOUBLE / (select count(*) from {table}) as avgdl
 ),
 tf as (
   select doc_id, term, count(*)::BIGINT as tf from toks
-  where term in ({term_list}) group by doc_id, term
+  {tf_where} group by doc_id, term
 ),
 dfreq as (select term, count(*)::BIGINT as df from tf group by term),
 contrib as (

@@ -244,7 +244,8 @@ def rp_band_near_pairs(
     )
     if cap_method == "auto":
         cap_method = "anti_join" if width <= 16 else "window"
-    if max_bucket_size is not None and cap_method == "anti_join":
+    persisted = max_bucket_size is not None and cap_method == "anti_join"
+    if persisted:
         # the anti-join cap reads the bucket rows twice (size pre-agg +
         # main groupBy); persist so the plane UDF runs once per vector
         from pyspark import StorageLevel
@@ -255,6 +256,14 @@ def rp_band_near_pairs(
     cand = _bucket_pairs(sigrows, ["band", "bits"], max_bucket_size, cap_method).select(
         F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b")
     )
+    if persisted:
+        # candidate id-pairs are tiny (bucket-capped) next to the vectors:
+        # materialize them eagerly so the cached sigrows can be released
+        # HERE instead of leaking until the executor store evicts it (the
+        # returned frame's lineage is truncated, so unpersist is safe and
+        # callers never need a blanket spark.catalog.clearCache())
+        cand = cand.localCheckpoint(eager=True)
+        sigrows.unpersist()
     vecs = df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
     pairs = (
         cand.join(vecs.select(F.col("vid").alias("id_a"), F.col("vec").alias("vec_a")), on="id_a")
@@ -566,6 +575,7 @@ def build_ivf_index(
     out_dir: str,
     *,
     n_lists: int = 16,
+    kmeans_rounds: int = 0,
 ) -> None:
     """Persist an IVF-flat index: vectors bucketed by nearest coarse center.
 
@@ -574,56 +584,122 @@ def build_ivf_index(
     corpus), and each list row CARRIES its vector, so probes never join
     back to the corpus table at all — the classic IVF-flat layout.
 
-    Coarse centers are the ``n_lists`` corpus vectors with the SMALLEST ids
-    — a deterministic, SQL-reproducible choice (ids carry no spatial
-    meaning, so this is random-vector center seeding, the standard IVF
-    baseline; a k-means refinement would balance list sizes but changes
-    nothing structural).  Assignment = argmin cosine distance to the
-    centers (ties → smallest center id), computed in one Arrow matmul per
-    batch.  Layout: ``lists/`` parquet (list_id, vec_id, vec) range-
-    partitioned and sorted by list_id so a probe's ``list_id IN (...)``
-    prunes at row-group level; ``centers/`` parquet holds the center
-    vectors for probe-time scoring.
+    Coarse-center SEEDS are the ``n_lists`` corpus vectors with the
+    SMALLEST ids — a deterministic, SQL-reproducible choice (ids carry no
+    spatial meaning, so this is random-vector center seeding, the standard
+    IVF baseline).  ``kmeans_rounds > 0`` then runs that many DETERMINISTIC
+    Lloyd rounds to balance the lists on clustered corpora (where id-order
+    seeding can drop every seed into one cluster and a probe degenerates to
+    a corpus scan): each round assigns every vector to its nearest center
+    (Arrow matmul, same UDF as the final assignment), recomputes centers as
+    the per-list elementwise mean via explode → groupBy(list, dim) — the
+    only driver materialization is the n_lists × dim center matrix (tiny at
+    any corpus size) — and keeps its previous center for an emptied list.
+    No randomness anywhere ⇒ the same corpus always yields the same index
+    (the property every oracle in this repo leans on).
+
+    Assignment = argmin cosine distance to the centers (ties → smallest
+    center index), computed in one Arrow matmul per batch.  Layout:
+    ``lists/`` parquet (list_id, vec_id, vec) range-partitioned and sorted
+    by list_id so a probe's ``list_id IN (...)`` prunes at row-group level;
+    ``centers/`` parquet holds (cid = list index, cvec) for probe-time
+    scoring; ``ivf_list_stats`` reads back the realized list sizes so
+    balance is a measured property, not a hope.
     """
     import os
 
-    centers_df = (
+    centers = (
         df.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
         .orderBy("cid")
         .limit(n_lists)
+        .collect()
     )
-    centers = centers_df.collect()
     if not centers:
         raise ValueError("cannot build an IVF index over an empty corpus")
+    if kmeans_rounds < 0:
+        raise ValueError(f"kmeans_rounds must be >= 0: {kmeans_rounds}")
     cmat = np.array([r["cvec"] for r in centers], dtype=np.float64)
-    cnorm = np.sqrt(np.einsum("ij,ij->i", cmat, cmat))
 
     from pyspark.sql.types import IntegerType
 
-    @F.pandas_udf(IntegerType())
-    def _assign(vs: pd.Series) -> pd.Series:
-        if len(vs) == 0:
-            return pd.Series(np.empty(0, dtype=np.int32))
-        mat = np.array(vs.tolist(), dtype=np.float64)
-        norms = np.sqrt(np.einsum("ij,ij->i", mat, mat))
-        cos = (mat @ cmat.T) / (norms[:, None] * cnorm[None, :])
-        # argmin of cosine DISTANCE = argmax cosine; numpy takes the first
-        # (= smallest center index = smallest cid, centers are id-sorted)
-        return pd.Series(np.argmax(cos, axis=1).astype(np.int32))
+    def _assign_udf(center_mat: np.ndarray):
+        cm = center_mat
+        cn = np.sqrt(np.einsum("ij,ij->i", cm, cm))
+
+        @F.pandas_udf(IntegerType())
+        def _assign(vs: pd.Series) -> pd.Series:
+            if len(vs) == 0:
+                return pd.Series(np.empty(0, dtype=np.int32))
+            mat = np.array(vs.tolist(), dtype=np.float64)
+            norms = np.sqrt(np.einsum("ij,ij->i", mat, mat))
+            cos = (mat @ cm.T) / (norms[:, None] * cn[None, :])
+            # argmin of cosine DISTANCE = argmax cosine; numpy takes the
+            # first (= smallest center index)
+            return pd.Series(np.argmax(cos, axis=1).astype(np.int32))
+
+        return _assign
+
+    for _ in range(kmeans_rounds):
+        # one distributed job per round: assign → per-(list, dim) mean; the
+        # collect is n_lists × dim scalars, independent of corpus size
+        assigned = df.select(
+            _assign_udf(cmat)(F.col(vec_col)).alias("list_id"),
+            F.col(vec_col).alias("vec"),
+        )
+        mean_rows = (
+            assigned.select("list_id", F.posexplode("vec").alias("dim", "val"))
+            .groupBy("list_id", "dim")
+            .agg(F.avg("val").alias("mu"))
+            .collect()
+        )
+        new = cmat.copy()  # emptied lists keep their previous center
+        for r in mean_rows:
+            new[r["list_id"], r["dim"]] = r["mu"]
+        if np.array_equal(new, cmat):
+            break  # Lloyd fixpoint — further rounds are no-ops
+        cmat = new
 
     rows = df.select(
-        _assign(F.col(vec_col)).alias("list_id"),
+        _assign_udf(cmat)(F.col(vec_col)).alias("list_id"),
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("vec"),
     )
     rows.repartitionByRange(max(1, n_lists // 4), "list_id").sortWithinPartitions(
         "list_id", "vec_id"
     ).write.mode("overwrite").parquet(os.path.join(out_dir, "lists"))
-    centers_df.write.mode("overwrite").parquet(os.path.join(out_dir, "centers"))
+    spark = df.sparkSession
+    spark.createDataFrame(
+        [(int(i), [float(x) for x in cmat[i]]) for i in range(cmat.shape[0])],
+        "cid long, cvec array<double>",
+    ).write.mode("overwrite").parquet(os.path.join(out_dir, "centers"))
     import json
 
     with open(os.path.join(out_dir, "meta.json"), "w") as fh:
-        json.dump({"n_lists": n_lists, "kind": "ivf_flat"}, fh, sort_keys=True)
+        json.dump(
+            {
+                "n_lists": n_lists,
+                "kind": "ivf_flat",
+                "kmeans_rounds": kmeans_rounds,
+            },
+            fh,
+            sort_keys=True,
+        )
+
+
+def ivf_list_stats(spark, index_dir: str) -> DataFrame:
+    """Realized IVF list sizes: (list_id, n_vecs) — the balance
+    observability the 100-TB framing needs (a probe's cost is the sizes of
+    the lists it touches, so a skewed build should be VISIBLE, not
+    discovered at query time).  One pruned aggregate over the lists
+    parquet; empty lists are absent (size 0)."""
+    import os
+
+    lists = spark.read.parquet(os.path.join(index_dir, "lists"))
+    return (
+        lists.groupBy("list_id")
+        .agg(F.count(F.lit(1)).alias("n_vecs"))
+        .orderBy("list_id")
+    )
 
 
 def ivf_topk(

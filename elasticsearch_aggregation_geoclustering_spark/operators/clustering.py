@@ -479,6 +479,7 @@ def geo_point_clustering(
     es_association: bool = False,
     shard_col: str | None = None,
     order_col: str | None = None,
+    batched_reduce: int | None = None,
     **params,
 ) -> ClusteringResult:
     """Full aggregation: distributed cell agg + driver-side greedy merge.
@@ -491,6 +492,16 @@ def geo_point_clustering(
     InternalGeoPointClustering.java:339-353): cluster over a Bernoulli sample
     and scale each bucket's doc_count back up by 1/fraction
     (``SamplingContext.scaleUp``); centroids stay the sample means.
+
+    ``batched_reduce=N`` reproduces ES's batched-coordination quirk
+    (InternalGeoPointClustering.java:295-297): the coordinator runs
+    ``mergeBuckets`` on every NON-final reduce too (skipping only the
+    truncation), so with ``batched_reduce_size`` batches of shard responses
+    the greedy merge applies per batch and then AGAIN over the survivors —
+    observably different from the engine's default single final merge
+    (which is the strictly-more-accurate answer, documented SURVEY §3.1).
+    N is the per-batch bucket count; incompatible with ``metrics`` (merged
+    payload identity across the two passes isn't defined by the reference).
     """
     plan = plan_clustering(zoom, **params)
     if lon_col not in df.columns or lat_col not in df.columns:
@@ -529,7 +540,16 @@ def geo_point_clustering(
         for row in rows
     ]
     metric_merge = {name: spec.combine for name, spec in specs.items()}
-    clusters = merge_clusters(candidates, plan.radius_m, plan.ratio, metric_merge)
+    if batched_reduce is not None:
+        if specs:
+            raise ValueError("batched_reduce does not compose with metrics")
+        from .merge import merge_clusters_batched
+
+        clusters = merge_clusters_batched(
+            candidates, plan.radius_m, plan.ratio, batch_size=batched_reduce
+        )
+    else:
+        clusters = merge_clusters(candidates, plan.radius_m, plan.ratio, metric_merge)
     if sample_fraction is not None and sample_fraction < 1:
         for c in clusters:
             # SamplingContext.scaleUp rounds (Math.round), not truncates;

@@ -792,6 +792,9 @@ def append_index(
     num_partitions: int | None = None,
     pack_before_shuffle: bool = False,
     n_docs_hint: int | None = None,
+    batch_id: int | None = None,
+    content_xor: int | None = None,
+    allow_key_reuse: bool = False,
 ) -> dict:
     """Append a batch of NEW documents to an existing index (ES ``_bulk``).
 
@@ -813,6 +816,26 @@ def append_index(
     an at-least-once redelivery (foreachBatch retry) is a no-op — without
     the ledger, a resume would recompute the id base from its own half-built
     segments and duplicate the batch under shifted ids.
+
+    Batch identity beyond keys: the key-only fingerprint cannot tell a
+    REPLAY of a batch from a NEW batch that legitimately reuses the same
+    key set (``upsert_index``'s update path).  Two optional disambiguators,
+    recorded in the ledger entry when provided:
+
+    - ``batch_id``: an external batch identity.  Structured Streaming's
+      ``foreachBatch`` guarantees a redelivered micro-batch reuses the same
+      ``batch_id``, so identical keys + a DIFFERENT batch_id is a new batch
+      (gets a fresh base_sid), identical batch_id is a replay (resumes).
+    - ``content_xor``: an order-insensitive 64-bit fold of
+      ``xxhash64(*key_cols, content)`` over the batch, for ad-hoc callers
+      with no external identity (``upsert_index`` computes it when no
+      batch_id is given).  Same keys + different content ⇒ different xor ⇒
+      new batch.
+
+    ``allow_key_reuse=True`` (set by ``upsert_index``) additionally relaxes
+    the keys-globally-unique contract: a (n, min, max)-colliding entry with
+    a different ``key_xor`` is treated as a distinct batch instead of an
+    error, because upserted key sets may legitimately overlap old ones.
     """
     manifest = load_manifest(index_dir)
     if manifest is None:
@@ -895,18 +918,35 @@ def append_index(
         int(k) for k in seg_store.load_manifest_parts(index_dir)
     }
     _legacy = ("n_docs", "min_key", "max_key")
-    prior = next(
-        (e for e in manifest.appends if all(e[k] == batch_fp[k] for k in _legacy)),
-        None,
-    )
-    if prior is not None:
-        if "key_xor" in prior and prior["key_xor"] != batch_fp["key_xor"]:
+    prior = None
+    for e in manifest.appends:
+        if not all(e[k] == batch_fp[k] for k in _legacy):
+            continue
+        if e.get("key_xor") is not None and e["key_xor"] != batch_fp["key_xor"]:
+            if allow_key_reuse:
+                continue  # upsert: a distinct batch colliding on (n,min,max)
             raise ValueError(
                 "append batch matches a prior ledger entry on (n_docs, min_key,"
-                f" max_key) but not on key_xor ({prior['key_xor']} != "
+                f" max_key) but not on key_xor ({e['key_xor']} != "
                 f"{batch_fp['key_xor']}): a different batch is reusing a prior"
                 " fingerprint — the keys-globally-unique contract is violated"
             )
+        # identical key set — disambiguate replay vs legitimate re-upsert
+        if (
+            batch_id is not None
+            and e.get("batch_id") is not None
+            and e["batch_id"] != batch_id
+        ):
+            continue  # same keys, different external batch ⇒ new batch
+        if (
+            content_xor is not None
+            and e.get("content_xor") is not None
+            and e["content_xor"] != content_xor
+        ):
+            continue  # same keys, different content ⇒ new batch
+        prior = e
+        break
+    if prior is not None:
         prior.setdefault("key_xor", batch_fp["key_xor"])  # backfill old ledgers
         import warnings
 
@@ -920,7 +960,12 @@ def append_index(
         base_sid = int(prior["base_sid"])
     else:
         base_sid = max((max(existing) + 1) if existing else 0, manifest.num_segments_expected)
-        manifest.appends.append({**batch_fp, "base_sid": base_sid})
+        entry = {**batch_fp, "base_sid": base_sid}
+        if batch_id is not None:
+            entry["batch_id"] = int(batch_id)
+        if content_xor is not None:
+            entry["content_xor"] = int(content_xor)
+        manifest.appends.append(entry)
     id_offset = base_sid * docs_per_segment
 
     offsets = {b: off + id_offset for b, off in _bucket_offsets(counts).items()}
@@ -1051,6 +1096,7 @@ def upsert_index(
     docmap_cols: tuple[str, ...] = (),
     num_partitions: int | None = None,
     pack_before_shuffle: bool = False,
+    batch_id: int | None = None,
 ) -> dict:
     """ES ``_bulk`` index action: update-or-insert by natural key.
 
@@ -1071,24 +1117,54 @@ def upsert_index(
     matches a prior ledger entry therefore skips the delete entirely (the
     first attempt already tombstoned the superseded docs; tombstoning is
     idempotent, so crash-between-delete-and-ledger replays simply re-delete).
+
+    Replay vs re-upsert: keys alone cannot distinguish a REDELIVERY of a
+    batch from a legitimate second upsert that updates the SAME key set
+    with NEW content — treating the latter as a replay would silently drop
+    the update.  Disambiguation (see ``append_index``): pass ``batch_id``
+    when the caller has an external batch identity (``stream_upsert`` passes
+    the foreachBatch micro-batch id, which Spark reuses on redelivery);
+    without one, a content fingerprint (order-insensitive
+    ``bit_xor(xxhash64(*key_cols, content))``) is folded into the same
+    fingerprint scan and ledger entry, so same-keys-new-content classifies
+    as a new batch: the delete runs and fresh segments are built.
     """
     manifest = load_manifest(index_dir)
+    content_xor: int | None = None
     if manifest is not None:
         ks = _key_struct(key_cols)
+        # content identity rides the same scan even when batch_id is given:
+        # a later ad-hoc upsert (no batch_id) can then still compare against
+        # this entry instead of falling back to key-only legacy matching
         row = docs.agg(
             F.count(F.lit(1)).alias("n"),
             F.min(ks).alias("kmin"),
             F.max(ks).alias("kmax"),
+            F.bit_xor(F.xxhash64(*[F.col(c) for c in key_cols])).alias("kxor"),
+            F.bit_xor(
+                F.xxhash64(*[F.col(c) for c in key_cols], F.col(content_col))
+            ).alias("cxor"),
         ).collect()[0]
         fp = {
             "n_docs": int(row["n"]),
             "min_key": None if row["kmin"] is None else list(row["kmin"]),
             "max_key": None if row["kmax"] is None else list(row["kmax"]),
+            "key_xor": None if row["kxor"] is None else int(row["kxor"]),
         }
-        replay = fp["n_docs"] > 0 and any(
-            all(e[k] == fp[k] for k in ("n_docs", "min_key", "max_key"))
-            for e in manifest.appends
-        )
+        content_xor = None if row["cxor"] is None else int(row["cxor"])
+
+        def _is_replay(e: dict) -> bool:
+            if not all(e[k] == fp[k] for k in ("n_docs", "min_key", "max_key")):
+                return False
+            if e.get("key_xor") is not None and e["key_xor"] != fp["key_xor"]:
+                return False  # different interior keys ⇒ different batch
+            if batch_id is not None and e.get("batch_id") is not None:
+                return e["batch_id"] == batch_id
+            if content_xor is not None and e.get("content_xor") is not None:
+                return e["content_xor"] == content_xor
+            return True  # legacy entry: key identity is all we have
+
+        replay = fp["n_docs"] > 0 and any(_is_replay(e) for e in manifest.appends)
         if fp["n_docs"] > 0 and not replay:
             delete_by_keys(spark, index_dir, docs.select(*key_cols), key_cols)
     return append_index(
@@ -1100,6 +1176,9 @@ def upsert_index(
         docmap_cols=docmap_cols,
         num_partitions=num_partitions,
         pack_before_shuffle=pack_before_shuffle,
+        batch_id=batch_id,
+        content_xor=content_xor,
+        allow_key_reuse=True,
     )
 
 

@@ -43,6 +43,48 @@ from ..sources.segments import load_stats
 DECODED_SCHEMA = "term string, doc_id long, tf long, dl long"
 
 
+MAX_EXPANSIONS = 50  # ES's default multi-term max_expansions: scored
+# prefix/fuzzy/wildcard queries rewrite to at most this many highest-df
+# dictionary terms (top_terms_N), bounding both the driver collect and the
+# downstream isin/idf-map sizes regardless of dictionary cardinality.
+
+
+def _wildcard_to_like(pattern: str) -> str:
+    """ES wildcard pattern → SQL LIKE: ``*``→``%``, ``?``→``_``, with LIKE's
+    own metacharacters escaped (Spark and DuckDB both default to ``\\`` as
+    the LIKE escape, so one translation serves engine and oracle)."""
+    out = []
+    for ch in pattern:
+        if ch == "*":
+            out.append("%")
+        elif ch == "?":
+            out.append("_")
+        elif ch in ("%", "_", "\\"):
+            out.append("\\" + ch)
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
+MAX_SLOP = 32  # lcm(1..33) = 144 403 552 893 600 < 2^53: the integer
+# sloppy-frequency weights L/(1+matchLength) stay exactly representable in
+# both int64 and double, so Spark and the DuckDB oracle agree bit for bit;
+# beyond ~40 the lcm overflows and the exact-integer contract breaks.
+
+
+def _validate_slop(slop: int) -> None:
+    if slop < 0:
+        # a negative slop would silently build a REVERSED F.sequence of
+        # candidate starts and return wrong results — fail loudly instead
+        raise ValueError(f"slop must be >= 0: {slop}")
+    if slop > MAX_SLOP:
+        raise ValueError(
+            f"slop={slop} exceeds the supported maximum {MAX_SLOP}: "
+            "lcm(1..slop+1) must stay exactly representable for the "
+            "integer-exact sloppy-frequency weights"
+        )
+
+
 def _decode_postings_fn(lucene_norms: bool):
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -117,7 +159,18 @@ DF_CACHE_MAX_TERMS = 2_000_000
 
 @dataclass
 class InvertedIndex:
-    """Reader over an index directory produced by plans.index_build."""
+    """Reader over an index directory produced by plans.index_build.
+
+    Point-in-time snapshot semantics (exactly an ES/Lucene ``IndexReader``):
+    stats, the tombstone set, the df cache AND the postings relation are all
+    pinned at ``open()``/first use — Spark snapshots the segment file
+    listing when the reader DataFrame is created, so index mutations
+    (``append_index`` / ``upsert_index`` / ``merge_segments``) on the same
+    directory are NOT visible to an already-open reader, and compaction can
+    leave it holding references to rewritten files.  After mutating the
+    index, call :meth:`refresh` (ES ``_refresh``: opens a new point-in-time
+    view) or simply ``InvertedIndex.open`` a new reader.
+    """
 
     spark: SparkSession
     index_dir: str
@@ -140,6 +193,22 @@ class InvertedIndex:
             avgdl=stats["avgdl"],
             index_options=stats.get("index_options", "positions"),
         )
+
+    def refresh(self) -> "InvertedIndex":
+        """Re-open the point-in-time view after an index mutation (ES
+        ``_refresh``): drops every cached relation/statistic so the next
+        query re-lists segments, re-reads stats and re-scans tombstones.
+        Returns ``self`` for chaining."""
+        stats = load_stats(self.index_dir)
+        self.n_docs = stats["n_docs"]
+        self.avgdl = stats["avgdl"]
+        self.index_options = stats.get("index_options", "positions")
+        self._df_cache = None
+        self._df_cache_checked = False
+        self._deletes_checked = False
+        self._deleted = None
+        self._postings_df = None
+        return self
 
     # --- raw layers -----------------------------------------------------
 
@@ -348,6 +417,7 @@ class InvertedIndex:
         k: int = 10,
         mode: str = "OR",
         params: bm25.Bm25Params = bm25.Bm25Params(),
+        salt_partitions: int | None = None,
     ) -> DataFrame:
         """Top-k for a whole query batch in ONE scan and ONE doc-keyed
         shuffle: DataFrame (query_id, doc_id, score), ≤ k rows per query.
@@ -359,9 +429,18 @@ class InvertedIndex:
         fold per (query, doc) in sorted-term order — bit-identical to
         ``search()`` for every query (pinned by tests).  The final per-query
         top-k is a window ``row_number`` over (query_id): its sort is
-        disk-spillable and parallelism is #queries — at very large batch ×
-        corpus products, pre-truncate per partition (salt the window key)
-        before the global one.
+        disk-spillable but parallelism is #queries.
+
+        ``salt_partitions``: at very large batch × corpus products, set to
+        S > 1 for a SALTED two-stage top-k — a first window over
+        (query_id, doc_id % S) takes a per-salt top-k at parallelism
+        #queries × S, so no task ever sorts more than ~1/S of a query's
+        matches; the global window then ranks the surviving ≤ k·S rows per
+        query.  Results are bit-identical to the unsalted plan (pinned):
+        the union of per-salt top-ks contains the global top-k because the
+        (score desc, doc_id asc) order is total.  Costs one extra (tiny)
+        shuffle — leave ``None`` while a single query's matches fit one
+        task's spillable sort.
 
         query_id is the position of the query in ``queries``.
         """
@@ -415,6 +494,18 @@ class InvertedIndex:
             agg = agg.where(F.col("_nterms") == qlen)
         from pyspark.sql import Window
 
+        if salt_partitions is not None and salt_partitions > 1:
+            ws = Window.partitionBy("query_id", "_salt").orderBy(
+                F.desc("score"), F.asc("doc_id")
+            )
+            agg = (
+                agg.withColumn(
+                    "_salt", (F.col("doc_id") % F.lit(salt_partitions)).cast("int")
+                )
+                .withColumn("_srn", F.row_number().over(ws))
+                .where(F.col("_srn") <= k)
+                .drop("_salt", "_srn")
+            )
         w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
         return (
             agg.withColumn("_rn", F.row_number().over(w))
@@ -493,6 +584,7 @@ class InvertedIndex:
         TWO groupBys keyed by (doc, start[, term]) — doc-dominated uniform
         keys, the same scale contract as the exact phrase path.
         """
+        _validate_slop(slop)
         spark = self.spark
         uniq = sorted(set(phrase))
         df_map = self.df_of(uniq)
@@ -607,46 +699,163 @@ class InvertedIndex:
         scored = occ.select("doc_id", (F.lit(idf_sum) * (tf_d / denom)).alias("score"))
         return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
-    def expand_prefix(self, prefix: str) -> list[str]:
-        """Dictionary terms starting with ``prefix`` (ES prefix query
-        expansion).  ``startswith`` pushes into the term-sorted term_stats
-        parquet as a StringStartsWith row-group filter — the analog of
-        Lucene's term-dictionary seek."""
-        if not prefix:
-            raise ValueError("prefix must be non-empty")
-        rows = self.term_stats().where(F.col("term").startswith(prefix)).collect()
+    def _expand_terms(
+        self, cond: Column, max_expansions: int | None
+    ) -> list[str]:
+        """Shared term-dictionary expansion with ES's ``top_terms_N``
+        rewrite: when capped, keep the ``max_expansions`` HIGHEST-df terms
+        (ties broken by term, ascending — a total order, so the boundary is
+        deterministic and the DuckDB oracle reproduces it exactly).  The
+        capped path is a TakeOrderedAndProject over the pruned term_stats
+        scan — the driver never receives more than the cap, no matter how
+        many dictionary terms match (the round-4 unbounded-collect fix)."""
+        q = self.term_stats().where(cond).select("term", "df")
+        if max_expansions is not None:
+            if max_expansions < 1:
+                raise ValueError(f"max_expansions must be >= 1: {max_expansions}")
+            rows = (
+                q.orderBy(F.desc("df"), F.asc("term")).limit(max_expansions).collect()
+            )
+        else:
+            rows = q.collect()
         return sorted(r["term"] for r in rows)
 
-    def expand_fuzzy(self, term: str, fuzziness: int = 1) -> list[str]:
+    def expand_prefix(
+        self, prefix: str, max_expansions: int | None = MAX_EXPANSIONS
+    ) -> list[str]:
+        """Dictionary terms starting with ``prefix`` (ES prefix query
+        expansion, capped like ES's ``top_terms_N`` rewrite at
+        ``max_expansions`` highest-df terms; ``None`` ⇒ unbounded).
+        ``startswith`` pushes into the term-sorted term_stats parquet as a
+        StringStartsWith row-group filter — the analog of Lucene's
+        term-dictionary seek."""
+        if not prefix:
+            raise ValueError("prefix must be non-empty")
+        return self._expand_terms(F.col("term").startswith(prefix), max_expansions)
+
+    def expand_fuzzy(
+        self,
+        term: str,
+        fuzziness: int = 1,
+        max_expansions: int | None = MAX_EXPANSIONS,
+    ) -> list[str]:
         """Dictionary terms within Levenshtein distance ``fuzziness`` (ES
         fuzzy query expansion; like ES, distance-0 prefix sharing isn't
-        required).  One JVM ``levenshtein`` scan over the term dictionary —
-        fine while dictionaries are millions of terms; a 10⁸-term
+        required), capped at ``max_expansions`` highest-df terms (ES's
+        default 50).  One JVM ``levenshtein`` scan over the term dictionary
+        — fine while dictionaries are millions of terms; a 10⁸-term
         source-code dictionary would want an n-gram secondary index (the
         automaton-intersection analog), noted not built."""
         if fuzziness < 0:
             raise ValueError(f"fuzziness must be >= 0: {fuzziness}")
-        rows = (
-            self.term_stats()
-            .where(F.levenshtein(F.col("term"), F.lit(term)) <= fuzziness)
-            .collect()
+        return self._expand_terms(
+            F.levenshtein(F.col("term"), F.lit(term)) <= fuzziness, max_expansions
         )
-        return sorted(r["term"] for r in rows)
+
+    def expand_wildcard(
+        self, pattern: str, max_expansions: int | None = MAX_EXPANSIONS
+    ) -> list[str]:
+        """Dictionary terms matching an ES ``wildcard`` pattern (``*`` = any
+        sequence, ``?`` = one character), capped like the other rewrites.
+        The pattern compiles to a SQL LIKE (``%``/``_``) with all LIKE
+        metacharacters escaped, so it pushes into the term_stats scan as a
+        StringLike filter."""
+        return self._expand_terms(
+            F.col("term").like(_wildcard_to_like(pattern)), max_expansions
+        )
+
+    def _term_filter_match_count(self, cond: Column) -> int:
+        """hits.total for 'doc contains ANY dictionary term satisfying
+        ``cond``' — computed WITHOUT expanding the dictionary through the
+        driver: the filter is applied to the postings scan itself (pruned
+        parquet scan over term-sorted segments), decoded doc ids are
+        dedup'd distributed-side.  This is the Lucene multi-term
+        constant_score rewrite (a bitset over the full expansion, no
+        max_expansions truncation) — counts stay exact however many terms
+        match."""
+        pruned = (
+            self.postings()
+            .where(cond)
+            .select("term", "doc_ids_vb", "tfs_vb", "dls_vb")
+        )
+        rows = pruned.mapInPandas(_decode_postings_fn(False), DECODED_SCHEMA)
+        return self._live(rows.select("doc_id")).distinct().count()
 
     def prefix_match_count(self, prefix: str) -> int:
-        """hits.total for an ES ``prefix`` query: docs containing ANY term
-        with the prefix (expansion → OR match)."""
-        terms = self.expand_prefix(prefix)
-        if not terms:
-            return 0
-        return self.match_count(terms, "OR")
+        """hits.total for an ES ``prefix`` query (constant_score rewrite:
+        exact over the FULL expansion, filter pushed into the postings
+        scan — no driver-side term collect at all)."""
+        if not prefix:
+            raise ValueError("prefix must be non-empty")
+        return self._term_filter_match_count(F.col("term").startswith(prefix))
 
     def fuzzy_match_count(self, term: str, fuzziness: int = 1) -> int:
-        """hits.total for an ES ``fuzzy`` query (expansion → OR match)."""
-        terms = self.expand_fuzzy(term, fuzziness)
+        """hits.total for an ES ``fuzzy`` query (constant_score over the
+        full expansion; the levenshtein filter runs in the postings scan)."""
+        if fuzziness < 0:
+            raise ValueError(f"fuzziness must be >= 0: {fuzziness}")
+        return self._term_filter_match_count(
+            F.levenshtein(F.col("term"), F.lit(term)) <= fuzziness
+        )
+
+    def wildcard_match_count(self, pattern: str) -> int:
+        """hits.total for an ES ``wildcard`` query (constant_score over the
+        full expansion; LIKE pushes into the postings scan)."""
+        return self._term_filter_match_count(
+            F.col("term").like(_wildcard_to_like(pattern))
+        )
+
+    def regexp_match_count(self, pattern: str) -> int:
+        """hits.total for an ES ``regexp`` query: the pattern is anchored to
+        the WHOLE term (Lucene regexp semantics) and evaluated in the
+        postings scan."""
+        return self._term_filter_match_count(
+            F.col("term").rlike(f"^(?:{pattern})$")
+        )
+
+    def prefix_search(
+        self,
+        prefix: str,
+        k: int = 10,
+        params: bm25.Bm25Params = bm25.Bm25Params(),
+        max_expansions: int = MAX_EXPANSIONS,
+    ) -> DataFrame:
+        """BM25-scored prefix query (ES ``top_terms_N`` rewrite): expand to
+        the ``max_expansions`` highest-df matching terms, then score as a
+        bool OR over the expansion — each expanded term contributes with its
+        OWN df/idf, exactly Lucene's TopTermsScoringBooleanQueryRewrite."""
+        terms = self.expand_prefix(prefix, max_expansions)
         if not terms:
-            return 0
-        return self.match_count(terms, "OR")
+            return self.spark.createDataFrame([], "doc_id long, score double")
+        return self.search(terms, k, "OR", params)
+
+    def fuzzy_search(
+        self,
+        term: str,
+        fuzziness: int = 1,
+        k: int = 10,
+        params: bm25.Bm25Params = bm25.Bm25Params(),
+        max_expansions: int = MAX_EXPANSIONS,
+    ) -> DataFrame:
+        """BM25-scored fuzzy query (ES ``top_terms_N``-shaped rewrite; each
+        expanded term scores with its own df)."""
+        terms = self.expand_fuzzy(term, fuzziness, max_expansions)
+        if not terms:
+            return self.spark.createDataFrame([], "doc_id long, score double")
+        return self.search(terms, k, "OR", params)
+
+    def wildcard_search(
+        self,
+        pattern: str,
+        k: int = 10,
+        params: bm25.Bm25Params = bm25.Bm25Params(),
+        max_expansions: int = MAX_EXPANSIONS,
+    ) -> DataFrame:
+        """BM25-scored wildcard query (capped ``top_terms_N`` rewrite)."""
+        terms = self.expand_wildcard(pattern, max_expansions)
+        if not terms:
+            return self.spark.createDataFrame([], "doc_id long, score double")
+        return self.search(terms, k, "OR", params)
 
     def explain(
         self,

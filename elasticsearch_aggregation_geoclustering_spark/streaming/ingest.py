@@ -35,6 +35,9 @@ def stream_index(
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        # foreachBatch redelivers a failed micro-batch under the SAME
+        # batch_id — recording it in the append ledger makes replay
+        # detection exact instead of key-fingerprint-only
         append_index(
             spark,
             batch_df,
@@ -43,6 +46,7 @@ def stream_index(
             key_cols=key_cols,
             docmap_cols=docmap_cols,
             num_partitions=num_partitions,
+            batch_id=batch_id,
         )
 
     reader = spark.readStream.schema(schema).parquet(input_path)
@@ -90,6 +94,9 @@ def stream_upsert(
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        # batch_id disambiguates an at-least-once REDELIVERY (same id ⇒
+        # replay, no-op) from a later upsert updating the same key set with
+        # new content (different id ⇒ delete + fresh segments)
         upsert_index(
             spark,
             batch_df,
@@ -98,6 +105,7 @@ def stream_upsert(
             key_cols=key_cols,
             docmap_cols=docmap_cols,
             num_partitions=num_partitions,
+            batch_id=batch_id,
         )
 
     reader = spark.readStream.schema(schema).parquet(input_path)

@@ -109,3 +109,28 @@ def test_batched_reduce_can_differ_from_oneshot():
     sig = lambda cl: sorted((c.cell, c.doc_count) for c in cl)
     assert sig(one) == [(100, 1), (700, 100), (900, 2)]
     assert sig(batched) == [(100, 1), (800, 101), (900, 1)]
+
+
+def test_batched_reduce_api_wiring(spark):
+    """geo_point_clustering(batched_reduce=N) reaches merge_clusters_batched
+    (degenerate N >= n equals the default single reduce; metrics refuse)."""
+    import pytest
+
+    from elasticsearch_aggregation_geoclustering_spark import testing
+    from elasticsearch_aggregation_geoclustering_spark.operators.clustering import (
+        geo_point_clustering,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        testing.PARIS_POINTS, "id long, lon double, lat double"
+    )
+    base = geo_point_clustering(df, "lon", "lat", zoom=9)
+    quirky = geo_point_clustering(df, "lon", "lat", zoom=9, batched_reduce=10_000)
+    sig = lambda r: sorted((c.cell, c.doc_count, c.lat, c.lon) for c in r.clusters)
+    assert sig(base) == sig(quirky)
+    with pytest.raises(ValueError, match="batched_reduce"):
+        geo_point_clustering(
+            df, "lon", "lat", zoom=9, batched_reduce=2,
+            metrics={"m": F.lit(1)},
+        )

@@ -174,3 +174,21 @@ def test_sloppy_phrase_excludes_tombstones(spark, index, tmp_path):
     assert 2 not in after
     assert {k: v for k, v in before.items() if k != 2} == after
     shutil.rmtree(d, ignore_errors=True)
+
+
+def test_slop_validation(index):
+    """Round-4 advice: negative slop used to silently reverse the candidate
+    F.sequence (wrong results); huge slop overflows the exact-integer
+    lcm(1..slop+1) weights.  Both now fail loudly."""
+    with pytest.raises(ValueError, match="slop must be >= 0"):
+        index.phrase_match_count(["alpha", "beta"], slop=-1)
+    with pytest.raises(ValueError, match="exceeds the supported maximum"):
+        index.phrase_match_count(["alpha", "beta"], slop=33)
+    with pytest.raises(ValueError, match="slop"):
+        index.phrase_search(["alpha", "beta"], slop=-2)
+    # the documented maximum itself still works and its lcm stays exact
+    import math
+
+    L = math.lcm(*range(1, 34))
+    assert L < 2**53 and float(L) == L
+    assert index.phrase_match_count(["alpha", "beta"], slop=32) >= 0

@@ -175,3 +175,89 @@ def test_fuzzy_and_prefix_queries(spark, tmp_path):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "StringStartsWith" in plan
+
+
+def test_expansion_cap_and_scored_multiterm(spark, tmp_path):
+    """max_expansions (ES top_terms_N rewrite): the expansion keeps the cap
+    highest-df terms (ties by term asc), the driver never collects more,
+    and scored prefix/fuzzy/wildcard queries equal search() over exactly
+    that expansion."""
+    from elasticsearch_aggregation_geoclustering_spark.plans.index_build import (
+        build_index,
+    )
+    from elasticsearch_aggregation_geoclustering_spark.plans.query import InvertedIndex
+
+    docs = spark.createDataFrame(
+        [
+            # dfs: tab=1, table=4, tables=2, tablet=2, tabby=3
+            (0, "table tabby tablet"),
+            (1, "table tabby tables"),
+            (2, "table tabby tablet"),
+            (3, "table tables tab"),
+            (4, "chair bench"),
+        ],
+        "orig_id long, text string",
+    )
+    d = str(tmp_path / "capidx")
+    build_index(spark, docs, d, content_col="text", key_cols=("orig_id",), docs_per_segment=2)
+    idx = InvertedIndex.open(spark, d)
+    # uncapped expansion sees all five; df-ranked cap keeps top-3 by
+    # (df desc, term asc): table(4), tabby(3), then the df=2 tie breaks to
+    # 'tables' over 'tablet'
+    assert idx.expand_prefix("tab", max_expansions=None) == [
+        "tab", "tabby", "table", "tables", "tablet"
+    ]
+    assert sorted(idx.expand_prefix("tab", max_expansions=3)) == [
+        "tabby", "table", "tables"
+    ]
+    assert idx.expand_prefix("tab", max_expansions=1) == ["table"]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_expansions"):
+        idx.expand_prefix("tab", max_expansions=0)
+    # scored prefix search == bool OR over exactly the capped expansion
+    got = idx.prefix_search("tab", k=10, max_expansions=3).collect()
+    want = idx.search(["tabby", "table", "tables"], k=10).collect()
+    assert [(r["doc_id"], r["score"]) for r in got] == [
+        (r["doc_id"], r["score"]) for r in want
+    ]
+    # match_count stays EXACT (constant_score over the full expansion —
+    # never truncated by the scoring cap)
+    assert idx.prefix_match_count("tab") == 4
+    # wildcard / regexp term queries
+    assert idx.expand_wildcard("tab*t") == ["tablet"]
+    # * matches the EMPTY string too, so 'table' itself is in the expansion
+    assert idx.expand_wildcard("tab?e*") == ["table", "tables", "tablet"]
+    assert idx.wildcard_match_count("tab?e*") == 4  # docs 0..3
+    assert idx.wildcard_match_count("*air") == 1  # chair, doc 4
+    assert idx.regexp_match_count("tab(le|by)") == 4
+    assert idx.regexp_match_count("(chair|bench)") == 1
+    # regexp is whole-term anchored (Lucene semantics): 'able' alone
+    # matches nothing even though it occurs inside 'table'
+    assert idx.regexp_match_count("able") == 0
+    # scored wildcard == OR-search over its expansion
+    got_w = idx.wildcard_search("tab?e*", k=10).collect()
+    want_w = idx.search(["table", "tables", "tablet"], k=10).collect()
+    assert [(r["doc_id"], r["score"]) for r in got_w] == [
+        (r["doc_id"], r["score"]) for r in want_w
+    ]
+    # fuzzy cap: distance-1 neighborhood of 'table' = {table, tables};
+    # cap 1 keeps the higher-df 'table'
+    assert idx.expand_fuzzy("table", 1, max_expansions=1) == ["table"]
+
+
+@pytest.mark.parametrize("salt", [2, 4])
+def test_batch_salted_pretruncation_bit_identical(spark, index, salt):
+    """salt_partitions: the two-stage (per-salt top-k -> global top-k)
+    window must return exactly the unsalted plan's rows, and the physical
+    plan must show BOTH windows (the salted pre-truncation runs at
+    #queries x S parallelism before the global rank)."""
+    plain = index.search_batch(QUERIES, k=3)
+    salted = index.search_batch(QUERIES, k=3, salt_partitions=salt)
+    key = lambda r: (r["query_id"], r["doc_id"])
+    assert sorted(map(tuple, salted.collect()), key=lambda t: (t[0], t[1])) == sorted(
+        map(tuple, plain.collect()), key=lambda t: (t[0], t[1])
+    )
+    p = salted._jdf.queryExecution().executedPlan().toString()
+    assert p.count("Window") >= 2
+    assert index.search_batch(QUERIES, k=3, salt_partitions=1)  # no-op salt ok

@@ -364,3 +364,73 @@ def test_ivf_probe_prunes_scan_and_errors(spark, vectors):
                 shutil.rmtree(bad, ignore_errors=True)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_ivf_kmeans_balances_clustered_corpus(spark):
+    """Deterministic Lloyd refinement (kmeans_rounds): on a corpus whose
+    smallest-id vectors ALL sit in one cluster, id-order seeding funnels
+    the other cluster's mass through one giant list; two k-means rounds
+    separate the centers, shrinking the largest list — measured via
+    ivf_list_stats, not assumed.  Full-probe exactness and determinism
+    must survive refinement."""
+    from elasticsearch_aggregation_geoclustering_spark.extras.similarity import (
+        build_ivf_index,
+        cosine_topk,
+        ivf_list_stats,
+        ivf_topk,
+    )
+
+    rng = np.random.default_rng(7)
+    # ids 0..3 (the n_lists=2 seeds) all in cluster A around +e0; ids 40+
+    # in cluster B around +e1
+    a = rng.normal(scale=0.05, size=(40, 8)) + np.array([1.0] + [0.0] * 7)
+    b = rng.normal(scale=0.05, size=(40, 8)) + np.array([0.0, 1.0] + [0.0] * 6)
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(list(a) + list(b))]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    d0 = tempfile.mkdtemp(prefix="ivfseed_")
+    d1 = tempfile.mkdtemp(prefix="ivfkm_")
+    d2 = tempfile.mkdtemp(prefix="ivfkm2_")
+    try:
+        build_ivf_index(vecs, "vec_id", "embedding", d0, n_lists=2)
+        build_ivf_index(vecs, "vec_id", "embedding", d1, n_lists=2, kmeans_rounds=2)
+        sizes0 = {r["list_id"]: r["n_vecs"] for r in ivf_list_stats(spark, d0).collect()}
+        sizes1 = {r["list_id"]: r["n_vecs"] for r in ivf_list_stats(spark, d1).collect()}
+        # seeded-only: both seeds in cluster A -> cluster B all lands in one
+        # list (80-vector corpus, worst list >= 40); refined: 40/40 split
+        assert max(sizes0.values()) > max(sizes1.values())
+        assert sorted(sizes1.values()) == [40, 40]
+        # nprobe=1 from a cluster-B query now scans ~half the corpus
+        qb = [0.0, 1.0] + [0.0] * 6
+        want = [
+            (r["vec_id"], round(r["cosine"], 9))
+            for r in cosine_topk(vecs, "vec_id", "embedding", qb, 5).collect()
+        ]
+        got1 = [
+            (r["vec_id"], round(r["cosine"], 9))
+            for r in ivf_topk(spark, d1, qb, k=5, nprobe=1).collect()
+        ]
+        assert got1 == want  # cluster B is one pure list after refinement
+        # full probe stays exact after refinement
+        got_full = [
+            (r["vec_id"], round(r["cosine"], 9))
+            for r in ivf_topk(spark, d1, qb, k=5, nprobe=2).collect()
+        ]
+        assert got_full == want
+        # determinism: a rebuild is byte-for-byte the same assignment
+        build_ivf_index(vecs, "vec_id", "embedding", d2, n_lists=2, kmeans_rounds=2)
+        l1 = sorted(
+            map(tuple, spark.read.parquet(d1 + "/lists").select("list_id", "vec_id").collect())
+        )
+        l2 = sorted(
+            map(tuple, spark.read.parquet(d2 + "/lists").select("list_id", "vec_id").collect())
+        )
+        assert l1 == l2
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="kmeans_rounds"):
+            build_ivf_index(vecs, "vec_id", "embedding", d2, n_lists=2, kmeans_rounds=-1)
+    finally:
+        shutil.rmtree(d0, ignore_errors=True)
+        shutil.rmtree(d1, ignore_errors=True)
+        shutil.rmtree(d2, ignore_errors=True)

@@ -170,6 +170,92 @@ def test_upsert_replay_keeps_batch_live(spark, index_dir):
         shutil.rmtree(out, ignore_errors=True)
 
 
+def test_reupsert_same_keys_new_content(spark, index_dir):
+    """A SECOND upsert updating the SAME key set with NEW content is not a
+    replay: the content fingerprint in the ledger disambiguates, the old
+    generation is tombstoned and fresh segments are built.
+
+    Regression (round-4 advice, high): the key-only fingerprint classified
+    this as a replay — the delete was skipped AND the append resumed into
+    the prior entry, silently losing the update."""
+    v1 = spark.createDataFrame(
+        [(1, "omega omega"), (6, "alpha omega")], "orig_id long, text string"
+    )
+    upsert_index(spark, v1, index_dir, content_col="text", key_cols=("orig_id",))
+    v2 = spark.createDataFrame(
+        [(1, "sigma sigma"), (6, "alpha sigma")], "orig_id long, text string"
+    )
+    upsert_index(spark, v2, index_dir, content_col="text", key_cols=("orig_id",))
+    idx = InvertedIndex.open(spark, index_dir)
+    # v2 content is live, v1 content fully superseded
+    assert _orig_ids(idx, idx.search(["sigma"], k=10)) == [1, 6]
+    assert idx.match_count(["omega"]) == 0
+    assert idx.match_count(["alpha"]) == 4  # 0, 3, 5, v2 of 6
+    # and a replay of v2 is still a no-op
+    with pytest.warns(UserWarning, match="resume/replay"):
+        upsert_index(spark, v2, index_dir, content_col="text", key_cols=("orig_id",))
+    idx2 = InvertedIndex.open(spark, index_dir)
+    assert _orig_ids(idx2, idx2.search(["sigma"], k=10)) == [1, 6]
+    assert idx2.match_count(["omega"]) == 0
+    # compaction keeps only the v2 generation
+    out = tempfile.mkdtemp(prefix="reupsertmerge_")
+    try:
+        merge_segments(spark, index_dir, out, fanin=8, apply_deletes=True)
+        compacted = InvertedIndex.open(spark, out)
+        assert _orig_ids(compacted, compacted.search(["sigma"], k=10)) == [1, 6]
+        assert compacted.match_count(["omega"]) == 0
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def test_upsert_batch_id_disambiguates_replay(spark, index_dir):
+    """With an external batch identity (stream_upsert's foreachBatch id):
+    same id ⇒ replay/no-op, different id ⇒ a real update even if the key
+    fingerprint matches byte for byte."""
+    v1 = spark.createDataFrame([(6, "omega omega")], "orig_id long, text string")
+    upsert_index(
+        spark, v1, index_dir, content_col="text", key_cols=("orig_id",), batch_id=7
+    )
+    # redelivery under the SAME batch_id: pure no-op
+    with pytest.warns(UserWarning, match="resume/replay"):
+        upsert_index(
+            spark, v1, index_dir, content_col="text", key_cols=("orig_id",), batch_id=7
+        )
+    idx = InvertedIndex.open(spark, index_dir)
+    assert _orig_ids(idx, idx.search(["omega"], k=10)) == [6]
+    # a later batch under a NEW id updates, even with identical keys
+    v2 = spark.createDataFrame([(6, "sigma sigma")], "orig_id long, text string")
+    upsert_index(
+        spark, v2, index_dir, content_col="text", key_cols=("orig_id",), batch_id=8
+    )
+    idx2 = InvertedIndex.open(spark, index_dir)
+    assert idx2.match_count(["omega"]) == 0
+    assert _orig_ids(idx2, idx2.search(["sigma"], k=10)) == [6]
+
+
+def test_upsert_fingerprint_collision_different_interior_keys(spark, index_dir):
+    """Two upsert batches agreeing on (n_docs, min_key, max_key) but with
+    different INTERIOR keys are distinct batches: key_xor distinguishes
+    them, the second batch's delete runs and nothing raises (round-4
+    advice, medium: the old check ignored key_xor and either skipped the
+    tombstoning or died mid-upsert in append_index)."""
+    b1 = spark.createDataFrame(
+        [(10, "kappa one"), (20, "kappa two"), (30, "kappa three")],
+        "orig_id long, text string",
+    )
+    upsert_index(spark, b1, index_dir, content_col="text", key_cols=("orig_id",))
+    # same n=3, same min=10, same max=30 — interior key 25 instead of 20
+    b2 = spark.createDataFrame(
+        [(10, "lambda one"), (25, "lambda two"), (30, "lambda three")],
+        "orig_id long, text string",
+    )
+    upsert_index(spark, b2, index_dir, content_col="text", key_cols=("orig_id",))
+    idx = InvertedIndex.open(spark, index_dir)
+    # b2 superseded keys 10 and 30; b1's key 20 stays live
+    assert _orig_ids(idx, idx.search(["lambda"], k=10)) == [10, 25, 30]
+    assert _orig_ids(idx, idx.search(["kappa"], k=10)) == [20]
+
+
 def test_merge_apply_deletes_compacts(spark, index_dir):
     delete_docs(spark, index_dir, _internal_ids(spark, index_dir, [0, 4]))
     out = tempfile.mkdtemp(prefix="delmerge_")
@@ -211,3 +297,24 @@ def test_merge_without_apply_carries_tombstones(spark, index_dir):
         assert _orig_ids(merged, merged.search(["gamma"], k=10)) == [0, 2]
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_refresh_reopens_point_in_time_view(spark, index_dir):
+    """An InvertedIndex is a point-in-time snapshot (postings relation, df
+    cache, stats, tombstones all pinned at open).  refresh() must re-open
+    the view so mutations made since become visible (round-4 advice)."""
+    from elasticsearch_aggregation_geoclustering_spark.plans.index_build import (
+        append_index,
+    )
+
+    idx = InvertedIndex.open(spark, index_dir)
+    n_before = idx.n_docs
+    assert idx.match_count(["omega"]) == 0  # warms postings + df caches
+    new = spark.createDataFrame([(7, "omega omega")], "orig_id long, text string")
+    append_index(spark, new, index_dir, content_col="text", key_cols=("orig_id",))
+    # stale snapshot still answers from the old view (df cache pinned)
+    assert idx.match_count(["omega"]) == 0
+    assert idx.refresh() is idx
+    assert idx.n_docs == n_before + 1
+    assert idx.match_count(["omega"]) == 1
+    assert _orig_ids(idx, idx.search(["omega"], k=10)) == [7]
