@@ -182,6 +182,8 @@ class InvertedIndex:
     _deletes_checked: bool = False
     _deleted: DataFrame | None = None
     _postings_df: DataFrame | None = None
+    _decoded_cache: DataFrame | None = None
+    _decoded_cache_terms: frozenset | None = None
 
     @classmethod
     def open(cls, spark: SparkSession, index_dir: str) -> "InvertedIndex":
@@ -208,6 +210,41 @@ class InvertedIndex:
         self._deletes_checked = False
         self._deleted = None
         self._postings_df = None
+        if self._decoded_cache is not None:
+            self._decoded_cache.unpersist()
+        self._decoded_cache = None
+        self._decoded_cache_terms = None
+        return self
+
+    def cache_postings(self, terms: list[str] | None = None) -> "InvertedIndex":
+        """Pin the DECODED posting stream in executor storage (ES analog:
+        Lucene leaves postings to the OS page cache, so a warmed node
+        serves term queries from RAM; Spark's explicit equivalent is a
+        persisted DataFrame).  Subsequent ``search``/``match_count``/
+        ``explain``/``search_batch`` calls filter the cached (term, doc_id,
+        tf, dl) rows instead of re-running the parquet scan + Arrow varbyte
+        decode per query — the per-query plan becomes pure JVM.
+
+        Memory contract: Σ df rows over the cached terms (~32 B/row,
+        spillable MEMORY_AND_DISK).  Whole-index caching (``terms=None``)
+        is for indexes whose decoded postings fit the cluster's storage
+        memory — at source-code scale pass the HOT term subset instead,
+        exactly the set a real cache would retain.  Results are
+        bit-identical to the uncached path (same decoded values; pinned by
+        tests).  The cache obeys snapshot semantics: ``refresh()`` drops
+        it.  Positional queries are unaffected (positions stay on disk).
+        """
+        from pyspark import StorageLevel
+
+        if self._decoded_cache is not None:
+            self._decoded_cache.unpersist()
+        pruned = self.postings(terms).select(
+            "term", "doc_ids_vb", "tfs_vb", "dls_vb"
+        )
+        decoded = pruned.mapInPandas(_decode_postings_fn(False), DECODED_SCHEMA)
+        self._decoded_cache = decoded.persist(StorageLevel.MEMORY_AND_DISK)
+        self._decoded_cache_terms = None if terms is None else frozenset(terms)
+        self._decoded_cache.count()  # materialize eagerly: pay decode ONCE
         return self
 
     # --- raw layers -----------------------------------------------------
@@ -242,8 +279,23 @@ class InvertedIndex:
 
         The projection happens BEFORE the decode so parquet column pruning
         skips the position bytes entirely — term/BM25 queries pay nothing
-        for the positional index.
+        for the positional index.  When :meth:`cache_postings` has pinned a
+        covering decoded cache (and the default norms are in effect), the
+        stream is a pure-JVM filter over the cached rows — no scan, no
+        Arrow decode, no Python worker in the query path at all.
         """
+        if (
+            self._decoded_cache is not None
+            and not lucene_norms  # cache holds default-norm dl values
+            and (
+                self._decoded_cache_terms is None
+                or (terms is not None and set(terms) <= self._decoded_cache_terms)
+            )
+        ):
+            cached = self._decoded_cache
+            if terms is not None:
+                cached = cached.where(F.col("term").isin(sorted(set(terms))))
+            return cached
         pruned = self.postings(terms).select("term", "doc_ids_vb", "tfs_vb", "dls_vb")
         return pruned.mapInPandas(_decode_postings_fn(lucene_norms), DECODED_SCHEMA)
 

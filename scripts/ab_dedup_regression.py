@@ -63,8 +63,11 @@ def main():
 
     results = []
     for r in range(rounds):
+        la0 = os.getloadavg()[0]
         res = run_queries(spark, docs)
         res["round"] = r
+        res["load1_before"] = round(la0, 2)
+        res["load1_after"] = round(os.getloadavg()[0], 2)
         results.append(res)
         print(json.dumps(res), flush=True)
     summary = {

@@ -261,3 +261,63 @@ def test_batch_salted_pretruncation_bit_identical(spark, index, salt):
     p = salted._jdf.queryExecution().executedPlan().toString()
     assert p.count("Window") >= 2
     assert index.search_batch(QUERIES, k=3, salt_partitions=1)  # no-op salt ok
+
+
+def test_cache_postings_bit_identical(spark, index):
+    """cache_postings pins the decoded stream; every query path over it
+    must return exactly the uncached results, the cached plan must be free
+    of Python stages, and a terms-subset cache only serves covered
+    queries."""
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    d = _tempfile.mkdtemp(prefix="cacheidx_")
+    try:
+        docs = spark.createDataFrame(DOCS, "orig_id long, text string")
+        build_index(
+            spark, docs, d, content_col="text", key_cols=("orig_id",),
+            docs_per_segment=3,
+        )
+        idx = InvertedIndex.open(spark, d)
+        terms = ["spark", "window", "merge"]
+        want_search = [(r["doc_id"], r["score"]) for r in idx.search(terms, k=5).collect()]
+        want_count = idx.match_count(terms, "OR")
+        want_batch = sorted(map(tuple, idx.search_batch(QUERIES, k=3).collect()))
+
+        idx.cache_postings()
+        assert [(r["doc_id"], r["score"]) for r in idx.search(terms, k=5).collect()] == want_search
+        assert idx.match_count(terms, "OR") == want_count
+        assert sorted(map(tuple, idx.search_batch(QUERIES, k=3).collect())) == want_batch
+        # the cached per-query plan never leaves the JVM: everything ABOVE
+        # the InMemoryTableScan is JVM-only (the MapInPandas that appears
+        # BELOW it is the cached relation's stored lineage, which a cache
+        # hit never re-executes)
+        plan = idx.term_doc_rows(terms)._jdf.queryExecution().executedPlan().toString()
+        assert "InMemoryTableScan" in plan
+        above = plan.split("InMemoryTableScan", 1)[0]
+        assert "EvalPython" not in above and "MapInPandas" not in above
+        # lucene_norms queries bypass the cache (different dl encoding)
+        import elasticsearch_aggregation_geoclustering_spark.functions.bm25 as _bm25
+
+        ln = _bm25.Bm25Params(lucene_norms=True)
+        got_ln = [(r["doc_id"], r["score"]) for r in idx.search(terms, k=5, params=ln).collect()]
+        idx2 = InvertedIndex.open(spark, d)
+        assert got_ln == [
+            (r["doc_id"], r["score"]) for r in idx2.search(terms, k=5, params=ln).collect()
+        ]
+        # subset cache: covered queries hit it, uncovered fall back correctly
+        idx3 = InvertedIndex.open(spark, d).cache_postings(["spark", "window"])
+        assert [
+            (r["doc_id"], r["score"]) for r in idx3.search(["spark", "window"], k=5).collect()
+        ] == [(r["doc_id"], r["score"]) for r in idx2.search(["spark", "window"], k=5).collect()]
+        assert idx3.match_count(terms, "OR") == want_count  # 'merge' uncovered
+        # tombstones still mask cached rows
+        victim = [r["doc_id"] for r in idx.docmap().where("orig_id = 2").collect()]
+        delete_docs(spark, d, victim)
+        idx4 = InvertedIndex.open(spark, d).cache_postings()
+        assert all(r["doc_id"] not in victim for r in idx4.search(["spark"], k=10).collect())
+        # refresh drops the cache
+        idx4.refresh()
+        assert idx4._decoded_cache is None
+    finally:
+        _shutil.rmtree(d, ignore_errors=True)
