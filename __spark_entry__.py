@@ -426,6 +426,33 @@ def _q_phrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PHRASE_PREFIX = ["table", "s"]  # exact "table" then any s* term (6 in dict)
+PHRASE_PREFIX_MAX_EXP = 4  # < 6 matching terms, so the cap BINDS in-gate
+
+
+def _q_phrase_prefix_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES match_phrase_prefix hit count: exact phrase, last term expanded
+    to the first max_expansions dictionary terms in TERM order (Lucene
+    MultiPhraseQuery via lexicographic TermsEnum walk)."""
+    n = _index_for(spark, sf_dir).phrase_prefix_match_count(
+        PHRASE_PREFIX, max_expansions=PHRASE_PREFIX_MAX_EXP
+    )
+    return spark.createDataFrame([(n,)], "hits long")
+
+
+def _q_phrase_prefix_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25-scored match_phrase_prefix top-k (MultiPhraseQuery idf sum over
+    fixed positions + every expanded term)."""
+    index = _index_for(spark, sf_dir)
+    topk = index.phrase_prefix_search(
+        PHRASE_PREFIX, k=TOPK, max_expansions=PHRASE_PREFIX_MAX_EXP
+    )
+    ids = index.docmap().select("doc_id", "orig_id")
+    return topk.join(ids, on="doc_id").select(
+        F.col("orig_id").alias("doc_id"), F.round("score", 5).alias("score")
+    )
+
+
 def _q_phrase_slop_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sloppy match_phrase hit count (Lucene slop semantics over pos_vb)."""
     n = _index_for(spark, sf_dir).phrase_match_count(PHRASE, slop=PHRASE_SLOP)
@@ -883,6 +910,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "match_count_and": _q_match_count_and,
         "phrase_match_count": _q_phrase_match_count,
         "phrase_topk": _q_phrase_topk,
+        "phrase_prefix_count": _q_phrase_prefix_count,
+        "phrase_prefix_topk": _q_phrase_prefix_topk,
         "phrase_slop_count": _q_phrase_slop_count,
         "phrase_slop_topk": _q_phrase_slop_topk,
         "term_df": _q_term_df,
@@ -1212,6 +1241,21 @@ where 2.0 * 6371008.7714 * asin(least(1.0, sqrt((
         "phrase_topk": (
             f"with {osql.phrase_scores_cte(phrase=PHRASE)}\n"
             "select doc_id, round(score, 5) as score from scored\n"
+            f"order by scored.score desc, doc_id asc limit {TOPK}"
+        ),
+        "phrase_prefix_count": (
+            "with "
+            + osql.phrase_prefix_scores_cte(
+                phrase=PHRASE_PREFIX, max_expansions=PHRASE_PREFIX_MAX_EXP
+            )
+            + "\nselect count(*)::BIGINT as hits from pdocs"
+        ),
+        "phrase_prefix_topk": (
+            "with "
+            + osql.phrase_prefix_scores_cte(
+                phrase=PHRASE_PREFIX, max_expansions=PHRASE_PREFIX_MAX_EXP
+            )
+            + "\nselect doc_id, round(score, 5) as score from scored\n"
             f"order by scored.score desc, doc_id asc limit {TOPK}"
         ),
         "phrase_slop_count": (

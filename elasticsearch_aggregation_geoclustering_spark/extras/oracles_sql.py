@@ -440,6 +440,79 @@ scored as (
 )"""
 
 
+def phrase_prefix_scores_cte(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text: str = "text",
+    *,
+    phrase: list[str],
+    max_expansions: int = 50,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> str:
+    """CTE chain for an ES ``match_phrase_prefix`` query, exposing
+    ``scored(doc_id, score)`` and ``pdocs(doc_id, ptf)``.
+
+    Mirrors InvertedIndex.phrase_prefix_search: the last phrase position is
+    fillable by the first ``max_expansions`` dictionary terms carrying the
+    prefix in TERM order (Lucene's lexicographic TermsEnum walk, not the
+    df-ranked rewrite); a start needs every one of the len(phrase) offsets
+    present (whichever alternative fills the last one); idf sums one
+    TermStatistics per fixed position plus one per expanded term
+    (MultiPhraseQuery.allTermStats)."""
+    toks = tokens_sql(text)
+    k = len(phrase)
+    prefix = phrase[-1].replace("'", "''")
+    fixed_values = ", ".join(
+        f"('{t.replace(chr(39), chr(39) * 2)}', {i})" for i, t in enumerate(phrase[:-1])
+    )
+    fixed_cte = (
+        f"select * from (values {fixed_values}) as o(term, off)\n  union all\n  "
+        if fixed_values
+        else ""
+    )
+    return f"""
+t as (select {id_col} as doc_id, {toks} as toks from {table}),
+pos as (
+  select doc_id, i - 1 as pos, toks[i] as term
+  from t, unnest(range(1, len(toks) + 1)) as r(i)
+),
+offs as (
+  {fixed_cte}select term, {k - 1} as off from (
+    select distinct term from pos where term like '{prefix}%'
+    order by term asc limit {max_expansions}
+  )
+),
+starts as (
+  select p.doc_id, p.pos - o.off as start
+  from pos p join offs o using (term)
+  where p.pos - o.off >= 0
+  group by p.doc_id, p.pos - o.off
+  having count(distinct o.off) = {k}
+),
+pdocs as (select doc_id, count(*)::BIGINT as ptf from starts group by doc_id),
+dl as (select doc_id, len(toks)::BIGINT as dl from t),
+stats as (
+  select (select count(*) from {table})::BIGINT as n,
+         (select count(*) from pos)::DOUBLE / (select count(*) from {table}) as avgdl
+),
+dfreq as (
+  select term, count(distinct doc_id)::BIGINT as df from pos
+  where term in (select term from offs) group by term
+),
+idf as (
+  select sum(ln(1.0 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))) as s
+  from offs join dfreq using (term) cross join stats
+),
+scored as (
+  select pdocs.doc_id,
+         idf.s * (pdocs.ptf::DOUBLE
+           / (pdocs.ptf::DOUBLE + {k1} * (1.0 - {b} + {b} * dl.dl::DOUBLE / stats.avgdl)))
+           as score
+  from pdocs join dl using (doc_id) cross join stats cross join idf
+)"""
+
+
 def sloppy_phrase_scores_cte(
     table: str = "documents",
     id_col: str = "doc_id",

@@ -256,12 +256,17 @@ def rp_band_near_pairs(
     cand = _bucket_pairs(sigrows, ["band", "bits"], max_bucket_size, cap_method).select(
         F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b")
     )
+    candidate_plan: str | None = None
     if persisted:
         # candidate id-pairs are tiny (bucket-capped) next to the vectors:
         # materialize them eagerly so the cached sigrows can be released
         # HERE instead of leaking until the executor store evicts it (the
         # returned frame's lineage is truncated, so unpersist is safe and
-        # callers never need a blanket spark.catalog.clearCache())
+        # callers never need a blanket spark.catalog.clearCache()).  The
+        # truncation hides the candidate subplan from downstream .explain,
+        # so it is captured first and attached to the result for plan
+        # audits (tests/test_scale_plans.py reads it).
+        candidate_plan = cand._jdf.queryExecution().executedPlan().toString()
         cand = cand.localCheckpoint(eager=True)
         sigrows.unpersist()
     vecs = df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
@@ -272,9 +277,12 @@ def rp_band_near_pairs(
     # Arrow-batched verify: candidate counts are the large side of LSH, and
     # one einsum per batch beats the interpreted per-dim HOF fold ~10x
     cos = cosine_pairs_column(F.col("vec_a"), F.col("vec_b"))
-    return pairs.select("id_a", "id_b", cos.alias("cosine")).where(
+    out = pairs.select("id_a", "id_b", cos.alias("cosine")).where(
         F.col("cosine") >= threshold
     )
+    if candidate_plan is not None:
+        out._eagc_candidate_plan = candidate_plan
+    return out
 
 
 def rp_lsh_topk(

@@ -581,14 +581,36 @@ class InvertedIndex:
         shuffles are keyed by doc-dominated keys — uniform, no hot keys
         beyond true mass-duplicate docs.
         """
+        offset_rows = [(t, i) for i, t in enumerate(phrase)]
+        return self._phrase_occurrences_from_offsets(
+            offset_rows, len(phrase), lucene_norms
+        )
+
+    def _phrase_occurrences_from_offsets(
+        self,
+        offset_rows: list[tuple[str, int]],
+        n_positions: int,
+        lucene_norms: bool = False,
+    ) -> DataFrame:
+        """Generalized exact-position matcher: (doc_id, ptf, dl) for a
+        MultiPhraseQuery-shaped (term → offset) mapping, where an offset may
+        be fillable by SEVERAL alternative terms (``match_phrase_prefix``'s
+        expanded last position).  A start counts iff every one of the
+        ``n_positions`` offsets has at least one of its terms present —
+        ``count_distinct(off)`` is blind to WHICH alternative filled a slot,
+        exactly Lucene's union-posting per position."""
         spark = self.spark
-        uniq = sorted(set(phrase))
+        uniq = sorted({t for t, _ in offset_rows})
         df_map = self.df_of(uniq)
-        if len(df_map) < len(uniq):  # some term matches nothing anywhere
+        # every OFFSET must be fillable by >= 1 indexed term (an offset whose
+        # terms all miss the dictionary makes the whole phrase unmatchable)
+        offs_ok = {off for t, off in offset_rows if t in df_map}
+        if len(offs_ok) < n_positions:
             return spark.createDataFrame([], "doc_id long, ptf long, dl long")
-        rows = self._live(self.term_position_rows(uniq, lucene_norms))
+        live_terms = [t for t in uniq if t in df_map]
+        rows = self._live(self.term_position_rows(live_terms, lucene_norms))
         offsets = spark.createDataFrame(
-            [(t, i) for i, t in enumerate(phrase)], "term string, off int"
+            [(t, o) for t, o in offset_rows if t in df_map], "term string, off int"
         )
         hits = rows.join(F.broadcast(offsets), on="term").select(
             "doc_id", "dl", (F.col("pos") - F.col("off")).alias("start"), "off"
@@ -597,7 +619,7 @@ class InvertedIndex:
             hits.where(F.col("start") >= 0)
             .groupBy("doc_id", "start")
             .agg(F.count_distinct("off").alias("_n"), F.max("dl").alias("dl"))
-            .where(F.col("_n") == len(phrase))
+            .where(F.col("_n") == n_positions)
         )
         return starts.groupBy("doc_id").agg(
             F.count(F.lit(1)).alias("ptf"), F.max("dl").alias("dl")
@@ -711,6 +733,90 @@ class InvertedIndex:
         if slop == 0:
             return self._phrase_occurrences(phrase).count()
         return self._sloppy_phrase_occurrences(phrase, slop).count()
+
+    def _phrase_prefix_offsets(
+        self, phrase: list[str], max_expansions: int
+    ) -> list[tuple[str, int]] | None:
+        """(term, offset) rows for match_phrase_prefix: fixed positions for
+        all but the last term, whose offset is fillable by the first
+        ``max_expansions`` dictionary terms carrying the prefix **in TERM
+        order** — Lucene's MatchPhrasePrefixQuery walks the TermsEnum
+        lexicographically and stops at the cap (NOT the df-ranked
+        ``top_terms_N`` rewrite the scored prefix query uses).  Returns
+        None when the expansion is empty (ES: the query matches nothing)."""
+        if max_expansions < 1:
+            raise ValueError(f"max_expansions must be >= 1: {max_expansions}")
+        prefix = phrase[-1]
+        if not prefix:
+            raise ValueError("phrase prefix term must be non-empty")
+        expansion = [
+            r["term"]
+            for r in self.term_stats()
+            .where(F.col("term").startswith(prefix))
+            .select("term")
+            .orderBy(F.asc("term"))
+            .limit(max_expansions)
+            .collect()
+        ]
+        if not expansion:
+            return None
+        last = len(phrase) - 1
+        return [(t, i) for i, t in enumerate(phrase[:-1])] + [
+            (t, last) for t in expansion
+        ]
+
+    def phrase_prefix_match_count(
+        self, phrase: list[str], max_expansions: int = MAX_EXPANSIONS
+    ) -> int:
+        """hits.total for an ES ``match_phrase_prefix`` query: the exact
+        phrase with its LAST term matched as a prefix (Lucene
+        MultiPhraseQuery — the last position accepts any of the expanded
+        terms' occurrences)."""
+        if not phrase:
+            return 0
+        offset_rows = self._phrase_prefix_offsets(phrase, max_expansions)
+        if offset_rows is None:
+            return 0
+        return self._phrase_occurrences_from_offsets(
+            offset_rows, len(phrase)
+        ).count()
+
+    def phrase_prefix_search(
+        self,
+        phrase: list[str],
+        k: int = 10,
+        params: bm25.Bm25Params = bm25.Bm25Params(),
+        max_expansions: int = MAX_EXPANSIONS,
+    ) -> DataFrame:
+        """BM25-scored match_phrase_prefix top-k: (doc_id, score), ≤ k rows.
+
+        Lucene MultiPhraseQuery scoring: tf is the phrase frequency (a
+        start counts once however many expansion alternatives fill the last
+        slot) and the idf is summed over ALL terms the weight was built
+        from — one TermStatistics per fixed position plus one per EXPANDED
+        term (MultiPhraseQuery.MultiPhraseWeight collects allTermStats
+        across every position's term array)."""
+        spark = self.spark
+        if not phrase:
+            return spark.createDataFrame([], "doc_id long, score double")
+        offset_rows = self._phrase_prefix_offsets(phrase, max_expansions)
+        if offset_rows is None:
+            return spark.createDataFrame([], "doc_id long, score double")
+        occ = self._phrase_occurrences_from_offsets(
+            offset_rows, len(phrase), params.lucene_norms
+        )
+        df_map = self.df_of(sorted({t for t, _ in offset_rows}))
+        idfs = bm25.idf_map(self.n_docs, df_map)
+        # one idf per (term, offset) row: fixed positions count once each,
+        # the last position contributes every expanded term's idf
+        idf_sum = sum(idfs.get(t, 0.0) for t, _ in offset_rows)
+        tf_d = F.col("ptf").cast("double")
+        dl_d = F.col("dl").cast("double")
+        denom = tf_d + F.lit(params.k1) * (
+            F.lit(1.0) - F.lit(params.b) + F.lit(params.b) * dl_d / F.lit(self.avgdl)
+        )
+        scored = occ.select("doc_id", (F.lit(idf_sum) * (tf_d / denom)).alias("score"))
+        return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
     def phrase_search(
         self,

@@ -172,3 +172,64 @@ def test_merge_preserves_positions(spark, small_index):
         assert positions_of(merged) == positions_of(orig)
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+def _python_phrase_prefix(texts, phrase, max_expansions):
+    """Transparent truth for match_phrase_prefix: expansion = first
+    max_expansions dictionary terms with the prefix in TERM order; a start
+    matches iff fixed terms sit at their offsets and ANY expanded term sits
+    at the last offset."""
+    vocab = sorted({t for _, txt in texts for t in tokenize_python(txt)})
+    exp = [t for t in vocab if t.startswith(phrase[-1])][:max_expansions]
+    counts = {}
+    for i, txt in texts:
+        toks = tokenize_python(txt)
+        n = 0
+        for p in range(len(toks) - len(phrase) + 1):
+            if all(toks[p + j] == phrase[j] for j in range(len(phrase) - 1)) and toks[
+                p + len(phrase) - 1
+            ] in exp:
+                n += 1
+        if n:
+            counts[i] = n
+    return counts, exp
+
+
+@pytest.mark.parametrize(
+    "phrase,max_exp",
+    [
+        (["quick", "brown", "fox"], 50),   # fox, foxes both match
+        (["quick", "brown", "fox"], 1),    # cap -> only 'fox' (term order)
+        (["the", "quick"], 50),
+        (["fox", "f"], 50),                # fox fox / fox foxes runs
+        (["b"], 2),                        # single-position phrase = prefix
+    ],
+)
+def test_phrase_prefix_matches_python(spark, small_index, phrase, max_exp):
+    idx = small_index
+    want, exp = _python_phrase_prefix(DOCS, phrase, max_exp)
+    occ = {
+        r["doc_id"]: r["ptf"]
+        for r in idx._phrase_occurrences_from_offsets(
+            idx._phrase_prefix_offsets(phrase, max_exp) or [], len(phrase)
+        ).collect()
+    } if exp else {}
+    dm = {r["doc_id"]: r["orig_id"] for r in idx.docmap().collect()}
+    assert {dm[d]: n for d, n in occ.items()} == want, (phrase, max_exp, exp)
+    assert idx.phrase_prefix_match_count(phrase, max_expansions=max_exp) == len(want)
+
+
+def test_phrase_prefix_empty_expansion_and_scoring(spark, small_index):
+    idx = small_index
+    assert idx.phrase_prefix_match_count(["quick", "zz"]) == 0
+    assert idx.phrase_prefix_search(["quick", "zz"], k=5).count() == 0
+    # scored: rank by ptf/dl like the phrase scorer; idf sums fixed + exp
+    rows = idx.phrase_prefix_search(["quick", "brown", "f"], k=10).collect()
+    assert rows and all(
+        rows[i]["score"] >= rows[i + 1]["score"] for i in range(len(rows) - 1)
+    )
+    want, _ = _python_phrase_prefix(DOCS, ["quick", "brown", "f"], 50)
+    dm = {r["doc_id"]: r["orig_id"] for r in idx.docmap().collect()}
+    assert sorted(dm[r["doc_id"]] for r in rows) == sorted(want)
+    with pytest.raises(ValueError, match="max_expansions"):
+        idx.phrase_prefix_match_count(["quick", "b"], max_expansions=0)

@@ -51,10 +51,23 @@ def test_rp_band_near_pairs_no_cartesian(spark):
     df = similarity.rp_band_near_pairs(
         _emb_df(spark), "vec_id", "embedding", threshold=0.2, n_planes=16, bands=4
     )
-    plan = _plan(df)
+    # the anti_join cap path checkpoints its candidate pairs (so the cached
+    # band rows can be unpersisted eagerly), truncating the visible lineage
+    # — the candidate subplan is captured pre-checkpoint for exactly this
+    # audit
+    plan = _plan(df) + getattr(df, "_eagc_candidate_plan", "")
     for bad in BAD_NODES:
         assert bad not in plan, f"quadratic join in plan:\n{plan}"
     assert "bits" in plan  # candidates keyed by the signature band bits
+    # the window-cap variant keeps full lineage; audit it end-to-end too
+    dfw = similarity.rp_band_near_pairs(
+        _emb_df(spark), "vec_id", "embedding", threshold=0.2, n_planes=16,
+        bands=4, cap_method="window",
+    )
+    planw = _plan(dfw)
+    for bad in BAD_NODES:
+        assert bad not in planw, f"quadratic join in plan:\n{planw}"
+    assert "bits" in planw
 
 
 def test_simhash_near_pairs_no_cartesian(spark):
