@@ -1421,3 +1421,59 @@ def merge_segments(
             "index_options": old_stats.get("index_options", "positions"),
         },
     )
+
+
+def build_term_gram_index(
+    spark: SparkSession,
+    index_dir: str,
+    *,
+    n: int = 2,
+    num_partitions: int | None = None,
+) -> dict:
+    """Persist a character-n-gram secondary index over the TERM DICTIONARY
+    (``<index_dir>/term_grams``) — the scale path for fuzzy expansion.
+
+    Lucene intersects a Levenshtein automaton with the terms dictionary;
+    the Spark-shaped analog is q-gram filtering (Gravano et al., VLDB'01):
+    a term within edit distance ``k`` of the query must share at least
+    ``|distinct n-grams(q)| − k·n`` of the query's distinct n-grams (each
+    edit destroys at most ``n`` gram types).  The index stores one row per
+    (gram, term) with the term's df CARRIED IN-ROW, range-partitioned and
+    sorted by gram so a probe's ``gram IN (...)`` prunes to ~len(query)
+    gram groups — the Levenshtein DP then runs over the tiny candidate set
+    instead of sweeping a 10⁸-term dictionary.
+
+    Derived entirely from term_stats: rebuild after index mutations (the
+    same point-in-time contract as every other reader artifact).
+    """
+    if n < 1:
+        raise ValueError(f"gram size must be >= 1: {n}")
+    num_partitions = num_partitions or spark.sparkContext.defaultParallelism
+    stats = spark.read.parquet(os.path.join(index_dir, "term_stats"))
+    grams = stats.select(
+        "term",
+        "df",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(
+                        F.lit(0), F.greatest(F.length("term") - n, F.lit(0))
+                    ),
+                    lambda i: F.col("term").substr(i + F.lit(1), F.lit(n)),
+                )
+            )
+        ).alias("gram"),
+    ).where(F.length("gram") == n)
+    out = os.path.join(index_dir, "term_grams")
+    (
+        grams.repartitionByRange(max(1, num_partitions // 4), "gram")
+        .sortWithinPartitions("gram", "term")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    meta = {"n": int(n), "kind": "term_grams"}
+    import json
+
+    with open(os.path.join(index_dir, "term_grams_meta.json"), "w") as fh:
+        json.dump(meta, fh, sort_keys=True)
+    return meta

@@ -184,6 +184,9 @@ class InvertedIndex:
     _postings_df: DataFrame | None = None
     _decoded_cache: DataFrame | None = None
     _decoded_cache_terms: frozenset | None = None
+    _gram_checked: bool = False
+    _gram_df: DataFrame | None = None
+    _gram_n: int = 0
 
     @classmethod
     def open(cls, spark: SparkSession, index_dir: str) -> "InvertedIndex":
@@ -214,6 +217,9 @@ class InvertedIndex:
             self._decoded_cache.unpersist()
         self._decoded_cache = None
         self._decoded_cache_terms = None
+        self._gram_checked = False
+        self._gram_df = None
+        self._gram_n = 0
         return self
 
     def cache_postings(self, terms: list[str] | None = None) -> "InvertedIndex":
@@ -891,6 +897,23 @@ class InvertedIndex:
             raise ValueError("prefix must be non-empty")
         return self._expand_terms(F.col("term").startswith(prefix), max_expansions)
 
+    def _gram_index(self) -> DataFrame | None:
+        """The term-dictionary n-gram secondary index, if built
+        (``plans.index_build.build_term_gram_index``).  Point-in-time like
+        every other reader artifact (refresh() re-checks)."""
+        if not self._gram_checked:
+            self._gram_checked = True
+            meta_path = os.path.join(self.index_dir, "term_grams_meta.json")
+            gdir = os.path.join(self.index_dir, "term_grams")
+            if os.path.exists(meta_path) and os.path.isdir(gdir):
+                import json
+
+                with open(meta_path) as fh:
+                    meta = json.load(fh)
+                self._gram_n = int(meta["n"])
+                self._gram_df = self.spark.read.parquet(gdir)
+        return self._gram_df
+
     def expand_fuzzy(
         self,
         term: str,
@@ -900,15 +923,55 @@ class InvertedIndex:
         """Dictionary terms within Levenshtein distance ``fuzziness`` (ES
         fuzzy query expansion; like ES, distance-0 prefix sharing isn't
         required), capped at ``max_expansions`` highest-df terms (ES's
-        default 50).  One JVM ``levenshtein`` scan over the term dictionary
-        — fine while dictionaries are millions of terms; a 10⁸-term
-        source-code dictionary would want an n-gram secondary index (the
-        automaton-intersection analog), noted not built."""
+        default 50).
+
+        Scale path: when the term-dictionary n-gram secondary index exists
+        (``build_term_gram_index`` — the Spark analog of Lucene's
+        Levenshtein-automaton × TermsEnum intersection), candidates are the
+        terms sharing at least ``|distinct grams(q)| − fuzziness·n`` of the
+        query's n-grams — a gram-pruned scan over ~len(q) gram groups — and
+        the Levenshtein DP refines only that candidate set.  The q-gram
+        bound guarantees a SUPERSET of the true expansion, so results are
+        identical to the full sweep (pinned by tests).  Without the index
+        (or when the bound degenerates for very short queries) one JVM
+        ``levenshtein`` sweep over the dictionary runs — fine while
+        dictionaries are millions of terms."""
         if fuzziness < 0:
             raise ValueError(f"fuzziness must be >= 0: {fuzziness}")
-        return self._expand_terms(
-            F.levenshtein(F.col("term"), F.lit(term)) <= fuzziness, max_expansions
-        )
+        cond = F.levenshtein(F.col("term"), F.lit(term)) <= fuzziness
+        grams_df = self._gram_index()
+        if grams_df is not None:
+            n = self._gram_n
+            qgrams = sorted(
+                {term[i : i + n] for i in range(len(term) - n + 1)}
+            ) if len(term) >= n else []
+            need = len(qgrams) - fuzziness * n
+            if need > 0:
+                cand = (
+                    grams_df.where(F.col("gram").isin(qgrams))
+                    .groupBy("term")
+                    .agg(
+                        F.count(F.lit(1)).alias("_shared"),
+                        F.first("df").alias("df"),
+                    )
+                    .where(F.col("_shared") >= need)
+                    .where(cond)
+                    .select("term", "df")
+                )
+                if max_expansions is not None:
+                    if max_expansions < 1:
+                        raise ValueError(
+                            f"max_expansions must be >= 1: {max_expansions}"
+                        )
+                    rows = (
+                        cand.orderBy(F.desc("df"), F.asc("term"))
+                        .limit(max_expansions)
+                        .collect()
+                    )
+                else:
+                    rows = cand.collect()
+                return sorted(r["term"] for r in rows)
+        return self._expand_terms(cond, max_expansions)
 
     def expand_wildcard(
         self, pattern: str, max_expansions: int | None = MAX_EXPANSIONS

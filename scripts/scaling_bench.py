@@ -116,9 +116,34 @@ def quiet_probe() -> float:
     return round(totals[8] / totals[2] / 4.0, 3)
 
 
+def membw_probe() -> float:
+    """Memory-BANDWIDTH 2→8 scaling probe (~8 s, plain numpy memcpy loops).
+
+    r5 protocol amendment, measured necessity: a session was observed where
+    every pure-CPU probe read 0.93-1.10 (certifying "quiet") while the
+    memcpy ceiling sat at 0.15 — a neighbor was saturating the shared
+    MEMORY BUS, not the cores, and the pack build (whose shuffle is
+    page-cache memcpy) read 0.62-0.68 efficiency in windows the CPU probe
+    called quiet.  The engine-independent membw probe sees exactly that
+    contention: an idle-bus session reads ≥ 0.45 (0.51 in the r4
+    recording), a saturated one 0.15.  A pair is now quiet only if BOTH
+    probes pass — certifying the resource the measured job actually
+    stresses."""
+    import multiprocessing as mp
+
+    totals = {}
+    for procs in (2, 8):
+        with mp.Pool(procs) as pool:
+            totals[procs] = sum(pool.map(_memburn, range(procs)))
+    return round(totals[8] / totals[2] / 4.0, 3)
+
+
 #: a trial pair counts as "quiet" when the pure-CPU probe immediately before
 #: AND after it reads at least this — the documented gate protocol
 QUIET_THRESHOLD = 0.88
+#: ...and (r5 amendment) the memory-bandwidth probe reads at least this on
+#: the same schedule (idle-bus sessions: 0.45-0.55; saturated: 0.15)
+MEMBW_QUIET_THRESHOLD = 0.30
 
 
 def measured_pair(
@@ -129,16 +154,21 @@ def measured_pair(
     Per-pair efficiency keeps both levels under the SAME ambient load
     window; the probes before/after certify the window stayed quiet."""
     probe_before = quiet_probe()
+    membw_before = membw_probe()
     r_n = run("local[2]", replicate, pack=pack, index_options=index_options)
     r_4n = run("local[8]", replicate, pack=pack, index_options=index_options)
     probe_after = quiet_probe()
+    membw_after = membw_probe()
     return {
         "n": r_n,
         "4n": r_4n,
         "efficiency": round(r_4n["files_per_sec"] / r_n["files_per_sec"] / 4.0, 4),
         "probe_before": probe_before,
         "probe_after": probe_after,
-        "quiet": min(probe_before, probe_after) >= QUIET_THRESHOLD,
+        "membw_before": membw_before,
+        "membw_after": membw_after,
+        "quiet": min(probe_before, probe_after) >= QUIET_THRESHOLD
+        and min(membw_before, membw_after) >= MEMBW_QUIET_THRESHOLD,
     }
 
 
@@ -233,7 +263,9 @@ def main() -> None:
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as fh:
         pair_rows = "\n".join(
             f"| {i} | {p['efficiency']:.3f} | {p['probe_before']:.2f} / "
-            f"{p['probe_after']:.2f} | {'quiet' if p['quiet'] else 'NOISY'} | "
+            f"{p['probe_after']:.2f} | {p.get('membw_before', float('nan')):.2f} / "
+            f"{p.get('membw_after', float('nan')):.2f} | "
+            f"{'quiet' if p['quiet'] else 'NOISY'} | "
             f"{p['n']['files_per_sec']} | {p['4n']['files_per_sec']} |"
             for i, p in enumerate(pack_pairs)
         )
@@ -256,9 +288,18 @@ as:
 
 1. a trial pair = one local[2] run immediately followed by one local[8]
    run of the identical job+input (same ambient window), bracketed by an
-   ~8 s pure-CPU 2→8 multiprocessing probe before and after;
-2. a pair is **quiet** iff both probes read ≥ {QUIET_THRESHOLD} (an idle
-   host reads 0.93-0.99; a core-saturating neighbor drops it below 0.85);
+   ~8 s pure-CPU 2→8 multiprocessing probe before and after, AND (r5
+   amendment) an ~8 s memory-BANDWIDTH 2→8 probe (numpy memcpy loops) on
+   the same schedule;
+2. a pair is **quiet** iff both CPU probes read ≥ {QUIET_THRESHOLD} (an
+   idle host reads 0.93-0.99; a core-saturating neighbor drops it below
+   0.85) and both membw probes read ≥ {MEMBW_QUIET_THRESHOLD} (idle-bus
+   sessions: 0.45-0.55; a bus-saturating neighbor: 0.15).  The membw gate
+   was added after a session where every CPU probe certified "quiet"
+   (0.93-1.10) while the memcpy ceiling sat at 0.15 and pack-build pairs
+   read 0.62-0.68 — the CPU probe is blind to the exact resource the
+   pack build's page-cache shuffle stresses, so it certified windows that
+   were loud on the bus;
 3. the headline = **median per-pair raw efficiency over quiet pairs**
    (all pairs, if fewer than two quiet pairs land in the attempt budget —
    flagged in the table below);
@@ -269,8 +310,8 @@ as:
 Per-pair measurements this session (attempts = {len(pack_pairs)},
 quiet = {result['n_quiet_pairs']}):
 
-| pair | efficiency | probe before/after | window | N files/s | 4N files/s |
-|---|---|---|---|---|---|
+| pair | efficiency | cpu probe b/a | membw probe b/a | window | N files/s | 4N files/s |
+|---|---|---|---|---|---|---|
 {pair_rows}
 
 Median over ALL pairs (noisy included): {eff_pack_all:.3f}.

@@ -321,3 +321,49 @@ def test_cache_postings_bit_identical(spark, index):
         assert idx4._decoded_cache is None
     finally:
         _shutil.rmtree(d, ignore_errors=True)
+
+
+def test_fuzzy_gram_index_identical_to_sweep(spark, tmp_path):
+    """The q-gram secondary index (build_term_gram_index) must reproduce
+    the full-sweep fuzzy expansion EXACTLY — the gram bound is a
+    guaranteed superset, the Levenshtein refine makes it equal — while the
+    probe's plan stays gram-pruned."""
+    from elasticsearch_aggregation_geoclustering_spark.plans.index_build import (
+        build_index,
+        build_term_gram_index,
+    )
+    from elasticsearch_aggregation_geoclustering_spark.plans.query import InvertedIndex
+
+    docs = spark.createDataFrame(
+        [
+            (0, "table cable stable tables tablet"),
+            (1, "fable gable tale tbale able"),
+            (2, "chair bench tab le a"),
+            (3, "tale tales stale"),
+        ],
+        "orig_id long, text string",
+    )
+    d = str(tmp_path / "gramidx")
+    build_index(spark, docs, d, content_col="text", key_cols=("orig_id",), docs_per_segment=2)
+    plain = InvertedIndex.open(spark, d)
+    sweep = {
+        (q, k): plain.expand_fuzzy(q, k, max_expansions=None)
+        for q in ("table", "tale", "able", "a")
+        for k in (0, 1, 2)
+    }
+    build_term_gram_index(spark, d)
+    gidx = InvertedIndex.open(spark, d)
+    assert gidx._gram_index() is not None
+    for (q, k), want in sweep.items():
+        assert gidx.expand_fuzzy(q, k, max_expansions=None) == want, (q, k)
+    # capped expansion agrees too (df-ranked boundary identical)
+    for q in ("table", "tale"):
+        assert gidx.expand_fuzzy(q, 2, max_expansions=3) == plain.expand_fuzzy(
+            q, 2, max_expansions=3
+        )
+    # the probe prunes by gram membership (no full-dictionary levenshtein
+    # before the gram filter); short queries degenerate to the sweep
+    assert gidx.expand_fuzzy("a", 1, max_expansions=None) == sweep[("a", 1)]
+    # refresh re-checks the artifact
+    gidx.refresh()
+    assert gidx.expand_fuzzy("table", 1) == plain.expand_fuzzy("table", 1)
