@@ -141,9 +141,14 @@ def membw_probe() -> float:
 #: a trial pair counts as "quiet" when the pure-CPU probe immediately before
 #: AND after it reads at least this — the documented gate protocol
 QUIET_THRESHOLD = 0.88
-#: ...and (r5 amendment) the memory-bandwidth probe reads at least this on
-#: the same schedule (idle-bus sessions: 0.45-0.55; saturated: 0.15)
+#: ...and (r5 amendment) the memory-bandwidth probe reads INSIDE this band
+#: on the same schedule.  Lower bound: idle-bus sessions read 0.45-0.55, a
+#: bus-saturating neighbor 0.15.  Upper bound: a reading far ABOVE 1.0 is
+#: equally disqualifying — it means the probe's own 2-proc baseline leg ran
+#: during a contention burst (observed: 2.58 and 8.50 in one session), so
+#: the window certified nothing.
 MEMBW_QUIET_THRESHOLD = 0.30
+MEMBW_QUIET_CEILING = 1.50
 
 
 def measured_pair(
@@ -168,7 +173,8 @@ def measured_pair(
         "membw_before": membw_before,
         "membw_after": membw_after,
         "quiet": min(probe_before, probe_after) >= QUIET_THRESHOLD
-        and min(membw_before, membw_after) >= MEMBW_QUIET_THRESHOLD,
+        and min(membw_before, membw_after) >= MEMBW_QUIET_THRESHOLD
+        and max(membw_before, membw_after) <= MEMBW_QUIET_CEILING,
     }
 
 
@@ -293,8 +299,11 @@ as:
    the same schedule;
 2. a pair is **quiet** iff both CPU probes read ≥ {QUIET_THRESHOLD} (an
    idle host reads 0.93-0.99; a core-saturating neighbor drops it below
-   0.85) and both membw probes read ≥ {MEMBW_QUIET_THRESHOLD} (idle-bus
-   sessions: 0.45-0.55; a bus-saturating neighbor: 0.15).  The membw gate
+   0.85) and both membw probes read inside
+   [{MEMBW_QUIET_THRESHOLD}, {MEMBW_QUIET_CEILING}] (idle-bus
+   sessions: 0.45-0.55; a bus-saturating neighbor: 0.15; a reading far
+   above 1.0 means the probe's own baseline leg hit a burst and certifies
+   nothing).  The membw gate
    was added after a session where every CPU probe certified "quiet"
    (0.93-1.10) while the memcpy ceiling sat at 0.15 and pack-build pairs
    read 0.62-0.68 — the CPU probe is blind to the exact resource the
