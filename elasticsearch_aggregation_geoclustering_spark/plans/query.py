@@ -994,12 +994,17 @@ class InvertedIndex:
         constant_score rewrite (a bitset over the full expansion, no
         max_expansions truncation) — counts stay exact however many terms
         match."""
-        pruned = (
-            self.postings()
-            .where(cond)
-            .select("term", "doc_ids_vb", "tfs_vb", "dls_vb")
-        )
-        rows = pruned.mapInPandas(_decode_postings_fn(False), DECODED_SCHEMA)
+        if self._decoded_cache is not None and self._decoded_cache_terms is None:
+            # whole-index decoded cache: the term predicate filters the
+            # cached rows directly — same result, no scan, no re-decode
+            rows = self._decoded_cache.where(cond)
+        else:
+            pruned = (
+                self.postings()
+                .where(cond)
+                .select("term", "doc_ids_vb", "tfs_vb", "dls_vb")
+            )
+            rows = pruned.mapInPandas(_decode_postings_fn(False), DECODED_SCHEMA)
         return self._live(rows.select("doc_id")).distinct().count()
 
     def prefix_match_count(self, prefix: str) -> int:

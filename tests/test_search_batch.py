@@ -284,9 +284,14 @@ def test_cache_postings_bit_identical(spark, index):
         want_count = idx.match_count(terms, "OR")
         want_batch = sorted(map(tuple, idx.search_batch(QUERIES, k=3).collect()))
 
+        want_prefix = idx.prefix_match_count("s")
+        want_wild = idx.wildcard_match_count("*dow")
         idx.cache_postings()
         assert [(r["doc_id"], r["score"]) for r in idx.search(terms, k=5).collect()] == want_search
         assert idx.match_count(terms, "OR") == want_count
+        # multi-term counts route through the whole-index cache too
+        assert idx.prefix_match_count("s") == want_prefix
+        assert idx.wildcard_match_count("*dow") == want_wild
         assert sorted(map(tuple, idx.search_batch(QUERIES, k=3).collect())) == want_batch
         # the cached per-query plan never leaves the JVM: everything ABOVE
         # the InMemoryTableScan is JVM-only (the MapInPandas that appears
