@@ -360,7 +360,11 @@ def _assign_ids_for_batch(
 def _pack_fn(content_col: str, passthrough: list[str], with_positions: bool = True):
     """mapInPandas: tokenize + collapse to flat packed term rows; DROP content."""
 
-    cols = ["terms_blob", "tfs_vb", *(["pos_vb"] if with_positions else []), "n_terms"]
+    cols = (
+        ["terms_blob", "codes_pk", "n_terms", "dl"]
+        if with_positions
+        else ["terms_blob", "tfs_vb", "n_terms"]
+    )
 
     def run(batches):
         for pdf in batches:
@@ -398,11 +402,12 @@ def _build_one_segment(
     if "terms_blob" in pdf.columns:
         if with_positions:
             tf_frame, pos_flat = packed_term_frequencies(
-                pdf["terms_blob"], pdf["tfs_vb"], pdf["n_terms"], pdf["pos_vb"]
+                pdf["terms_blob"], pdf["n_terms"],
+                codes_pk=pdf["codes_pk"], dl=pdf["dl"],
             )
         else:
             tf_frame = packed_term_frequencies(
-                pdf["terms_blob"], pdf["tfs_vb"], pdf["n_terms"]
+                pdf["terms_blob"], pdf["n_terms"], tfs_vb=pdf["tfs_vb"]
             )
             pos_flat = np.empty(0, dtype=np.int64)
     elif with_positions:
@@ -703,10 +708,13 @@ def build_index(
             "sha256", F.sha2(F.col(content_col).cast("binary"), 256)
         )
         if pack_before_shuffle:
-            pos_field = ["pos_vb binary"] if with_positions else []
+            packed_fields = (
+                ["terms_blob string", "codes_pk binary", "n_terms long", "dl long"]
+                if with_positions
+                else ["terms_blob string", "tfs_vb binary", "n_terms long"]
+            )
             pack_schema = ", ".join(
-                [f"`{n}` {t}" for n, t in work.drop(content_col).dtypes]
-                + ["terms_blob string", "tfs_vb binary", *pos_field, "n_terms long"]
+                [f"`{n}` {t}" for n, t in work.drop(content_col).dtypes] + packed_fields
             )
             work = work.mapInPandas(
                 _pack_fn(content_col, [*dm_cols, "sha256"], with_positions), pack_schema
@@ -987,10 +995,13 @@ def append_index(
         "sha256", F.sha2(F.col(content_col).cast("binary"), 256)
     )
     if pack_before_shuffle:
-        pos_field = ["pos_vb binary"] if with_positions else []
+        packed_fields = (
+            ["terms_blob string", "codes_pk binary", "n_terms long", "dl long"]
+            if with_positions
+            else ["terms_blob string", "tfs_vb binary", "n_terms long"]
+        )
         pack_schema = ", ".join(
-            [f"`{n}` {t}" for n, t in work.drop(content_col).dtypes]
-            + ["terms_blob string", "tfs_vb binary", *pos_field, "n_terms long"]
+            [f"`{n}` {t}" for n, t in work.drop(content_col).dtypes] + packed_fields
         )
         work = work.mapInPandas(
             _pack_fn(content_col, [*dm_cols, "sha256"], with_positions), pack_schema

@@ -82,7 +82,8 @@ def test_pack_roundtrip_with_positions():
     packed = pack_term_frequencies(texts)
     frame0, pos0 = doc_term_positions(texts)
     frame1, pos1 = packed_term_frequencies(
-        packed["terms_blob"], packed["tfs_vb"], packed["n_terms"], packed["pos_vb"]
+        packed["terms_blob"], packed["n_terms"],
+        codes_pk=packed["codes_pk"], dl=packed["dl"],
     )
     assert frame0.equals(frame1)
     assert (pos0 == pos1).all()
