@@ -356,10 +356,12 @@ that configuration and the r1/r2-comparable ``index_options="freqs"`` build
 **efficiency: positions {eff_pack:.3f} (quiet-pair median, the gate),
 freqs {eff_freq:.3f}** (target ≥ 0.8); positions normalized to the
 session's pure-CPU ceiling: {eff_pack / calib['cpu']:.3f}.
-Positions add ~dl varint bytes per doc to the packed shuffle payload, and on
-this single shared-memory-bus box every extra wire byte costs scaling slope
-(see ceilings below) — on a real cluster each executor brings its own NIC
-and the payload delta amortizes across the fabric.
+Positions ship as one bitpacked local-term-code sequence per doc
+(~3-4 bits/token, r5 — replacing the ~1.5 bytes/token varbyte tf+position
+deltas, a measured 2.3x raw / 1.3x post-lz4 cut of the positional columns);
+on this single shared-memory-bus box every remaining wire byte costs
+scaling slope (see ceilings below) — on a real cluster each executor brings
+its own NIC and the payload delta amortizes across the fabric.
 
 It trades ~40% single-node throughput (a second Python/Arrow stage per doc)
 for a ~4x smaller shuffle; on this single box the shuffle is page-cache
