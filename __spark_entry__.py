@@ -885,6 +885,174 @@ def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# ES search aggregations over hits + pagination/filter context (plans/aggs.py)
+# ---------------------------------------------------------------------------
+
+HIST_INTERVAL = 50.0  # n_chars histogram bucket width
+PCTS = [1.0, 25.0, 50.0, 75.0, 95.0, 99.0]
+AGG_ROUND = 4
+TOP_HITS_SIZE = 2
+HLL_P = 12
+SIG_TERMS_N = 10
+SIG_MIN_DOC = 2
+NCHARS_LO, NCHARS_HI = 150, 350  # ES range-filter bounds over doc length
+
+
+def _matched_docs(spark: SparkSession, sf_dir: str, terms: list[str], msm: int) -> DataFrame:
+    """Hits of a bool match joined back to the documents table (the frame ES
+    ``aggs`` blocks run over).  Matching runs on the index (posting rows →
+    per-doc distinct-term count), then the small matched-id set broadcasts
+    onto the corpus scan — hits ≪ corpus at scale."""
+    index = _index_for(spark, sf_dir)
+    rows = index.term_doc_rows(sorted(set(terms)))
+    matched = (
+        rows.groupBy("doc_id")
+        .agg(F.count_distinct("term").alias("nt"))
+        .where(F.col("nt") >= msm)
+        .select("doc_id")
+    )
+    ids = index.docmap().join(F.broadcast(matched), on="doc_id").select("orig_id")
+    docs = _docs(spark, sf_dir)
+    return docs.join(F.broadcast(ids), on=docs["doc_id"] == F.col("orig_id")).drop(
+        "orig_id"
+    )
+
+
+def _q_hits_stats_nchars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``extended_stats`` agg on n_chars over the hits of the AND query."""
+    from elasticsearch_aggregation_geoclustering_spark.plans import aggs
+
+    hits = _matched_docs(spark, sf_dir, TERMS_AND, len(set(TERMS_AND)))
+    return aggs.extended_stats(hits, "n_chars", round_to=AGG_ROUND)
+
+
+def _q_hits_histogram_nchars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``histogram`` agg (interval buckets) over the same hit set."""
+    from elasticsearch_aggregation_geoclustering_spark.plans import aggs
+
+    hits = _matched_docs(spark, sf_dir, TERMS_AND, len(set(TERMS_AND)))
+    out = aggs.histogram(hits, "n_chars", HIST_INTERVAL)
+    return out.select(F.col("key").cast("double").alias("key"), "doc_count")
+
+
+def _q_hits_percentiles_nchars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``percentiles`` agg — exact interpolation here (the gate), with the
+    t-digest-style approximate path (``approximate=True``) for 100 TB."""
+    from elasticsearch_aggregation_geoclustering_spark.plans import aggs
+
+    hits = _matched_docs(spark, sf_dir, TERMS_AND, len(set(TERMS_AND)))
+    return aggs.percentiles(hits, "n_chars", PCTS, round_to=AGG_ROUND)
+
+
+def _q_top_hits_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``terms`` agg on lang with a ``top_hits`` sub-agg: per language,
+    the best TOP_HITS_SIZE docs by BM25 for the OR query."""
+    from elasticsearch_aggregation_geoclustering_spark.plans import aggs
+
+    index = _index_for(spark, sf_dir)
+    scored = index.score_matches(TERMS_OR)
+    ids = index.docmap().select("doc_id", "orig_id")
+    docs = _docs(spark, sf_dir).select(F.col("doc_id").alias("orig_id"), "lang")
+    hits = (
+        scored.join(ids, on="doc_id")
+        .join(docs, on="orig_id")
+        .select(F.col("orig_id").alias("doc_id"), "lang", "score")
+    )
+    top = aggs.top_hits(hits, "lang", [F.desc("score"), F.asc("doc_id")], TOP_HITS_SIZE)
+    return top.select("lang", "doc_id", F.round("score", 5).alias("score"))
+
+
+def _q_events_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``date_histogram`` (calendar day) with an ``avg`` sub-agg."""
+    from elasticsearch_aggregation_geoclustering_spark.plans import aggs
+
+    ev = _events(spark, sf_dir)
+    buckets = aggs.date_histogram(ev, "ts", "day")
+    avgs = ev.groupBy(F.to_date(F.date_trunc("day", F.col("ts"))).alias("key")).agg(
+        F.round(F.avg("value"), 5).alias("avg_value")
+    )
+    return buckets.join(avgs, on="key").select("key", "doc_count", "avg_value")
+
+
+def _q_cardinality_user_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``cardinality`` agg = HyperLogLog; the oracle runs the SAME sketch
+    (md5-hash HLL is cross-engine deterministic), so this row gates the
+    sketch math itself, not just 'a number came out'."""
+    from elasticsearch_aggregation_geoclustering_spark.extras import sketches
+
+    return sketches.hll_cardinality(_events(spark, sf_dir), "user_id", HLL_P)
+
+
+def _q_significant_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``significant_terms`` (JLH heuristic) over the AND query's hits:
+    terms over-represented in the matched set vs the whole corpus."""
+    from elasticsearch_aggregation_geoclustering_spark.functions.tokenizer import (
+        tokenize_column,
+    )
+    from elasticsearch_aggregation_geoclustering_spark.plans import aggs
+
+    index = _index_for(spark, sf_dir)
+    hits = _matched_docs(spark, sf_dir, TERMS_AND, len(set(TERMS_AND)))
+    fg_size = hits.count()
+    hits_terms = hits.select(
+        "doc_id",
+        F.explode(F.array_distinct(tokenize_column(F.col("text")))).alias("term"),
+    )
+    return aggs.significant_terms_jlh(
+        hits_terms,
+        index.term_stats(),
+        fg_size=fg_size,
+        bg_size=index.n_docs,
+        size=SIG_TERMS_N,
+        min_doc_count=SIG_MIN_DOC,
+    )
+
+
+def _q_bm25_page2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``search_after`` pagination: page 2 of the OR query — collect page
+    1's last (score, doc_id) cursor (k driver-bounded rows), then fetch the
+    next k strictly after it.  Unlike from+size, the cursor predicate prunes
+    BEFORE the global top-k, so deep pages don't grow the shuffle."""
+    index = _index_for(spark, sf_dir)
+    ids = index.docmap().select("doc_id", "orig_id")
+    scored = (
+        index.score_matches(TERMS_OR)
+        .join(ids, on="doc_id")
+        .select(F.col("orig_id").alias("doc_id"), "score")
+    )
+    page1 = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(TOPK).collect()
+    if len(page1) < TOPK:  # no page 2
+        return scored.limit(0).select("doc_id", F.round("score", 5).alias("score"))
+    s0, d0 = float(page1[-1]["score"]), int(page1[-1]["doc_id"])
+    page2 = (
+        scored.where(
+            (F.col("score") < F.lit(s0))
+            | ((F.col("score") == F.lit(s0)) & (F.col("doc_id") > F.lit(d0)))
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(TOPK)
+    )
+    return page2.select("doc_id", F.round("score", 5).alias("score"))
+
+
+def _q_bm25_range_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES bool query: ``must`` match (scored) + ``filter`` range on n_chars
+    (non-scoring filter context) — filter ids semi-join the postings BEFORE
+    scoring, the parquet scan of the metadata pushes the range predicate."""
+    index = _index_for(spark, sf_dir)
+    docs = _docs(spark, sf_dir)
+    in_range = docs.where(
+        (F.col("n_chars") >= NCHARS_LO) & (F.col("n_chars") <= NCHARS_HI)
+    ).select(F.col("doc_id").alias("orig_id"))
+    filt = index.docmap().join(in_range, on="orig_id").select("doc_id")
+    topk = index.search(TERMS_OR, k=TOPK, doc_id_filter=filt)
+    ids = index.docmap().select("doc_id", "orig_id")
+    return topk.join(ids, on="doc_id").select(
+        F.col("orig_id").alias("doc_id"), F.round("score", 5).alias("score")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # geo clustering operator family (SURVEY.md §2.1)
@@ -924,6 +1092,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regexp_match_count": _q_regexp_match_count,
         "index_stats": _q_index_stats,
         "docmap_sha256": _q_docmap_sha256,
+        # ES search aggregations over hits + pagination/filter context
+        "hits_stats_nchars": _q_hits_stats_nchars,
+        "hits_histogram_nchars": _q_hits_histogram_nchars,
+        "hits_percentiles_nchars": _q_hits_percentiles_nchars,
+        "top_hits_by_lang": _q_top_hits_by_lang,
+        "events_date_histogram": _q_events_date_histogram,
+        "cardinality_user_hll": _q_cardinality_user_hll,
+        "significant_terms_jlh": _q_significant_terms,
+        "bm25_page2": _q_bm25_page2,
+        "bm25_range_filtered": _q_bm25_range_filtered,
         # training-data pipeline: dedup
         "dedup_exact_groups": _q_dedup_exact_groups,
         "dedup_keep_one": _q_dedup_keep_one,
@@ -1234,6 +1412,84 @@ where 2.0 * 6371008.7714 * asin(least(1.0, sqrt((
         ),
         "bm25_topk_msm2": _bm25_sql(TERMS_OR, "OR", msm=MSM),
         "match_count_and": _match_count_sql(TERMS_AND, "AND"),
+        "hits_stats_nchars": f"""
+with {osql.matched_ids_cte(TERMS_AND, len(set(TERMS_AND)))}
+select count(n_chars)::BIGINT as count,
+       min(n_chars)::DOUBLE as min, max(n_chars)::DOUBLE as max,
+       round(sum(n_chars::DOUBLE), {AGG_ROUND}) as sum,
+       round(avg(n_chars::DOUBLE), {AGG_ROUND}) as avg,
+       round(sum(n_chars::DOUBLE * n_chars::DOUBLE), {AGG_ROUND}) as sum_of_squares,
+       round(var_pop(n_chars::DOUBLE), {AGG_ROUND}) as variance,
+       round(stddev_pop(n_chars::DOUBLE), {AGG_ROUND}) as std_deviation,
+       round(avg(n_chars::DOUBLE) + 2.0::DOUBLE * stddev_pop(n_chars::DOUBLE), {AGG_ROUND}) as std_upper,
+       round(avg(n_chars::DOUBLE) - 2.0::DOUBLE * stddev_pop(n_chars::DOUBLE), {AGG_ROUND}) as std_lower
+from documents join matched using (doc_id)
+""",
+        "hits_histogram_nchars": f"""
+with {osql.matched_ids_cte(TERMS_AND, len(set(TERMS_AND)))}
+select (floor(n_chars / {HIST_INTERVAL!r}::DOUBLE) * {HIST_INTERVAL!r}::DOUBLE)::DOUBLE as key,
+       count(*)::BIGINT as doc_count
+from documents join matched using (doc_id)
+group by 1 order by 1
+""",
+        "hits_percentiles_nchars": f"""
+with {osql.matched_ids_cte(TERMS_AND, len(set(TERMS_AND)))},
+vals as (select n_chars::DOUBLE as v from documents join matched using (doc_id))
+select percent, round(value, {AGG_ROUND}) as value from (
+  select unnest([{", ".join(f"{p!r}::DOUBLE" for p in PCTS)}]) as percent,
+         unnest(quantile_cont(v, [{", ".join(f"{p / 100.0!r}::DOUBLE" for p in PCTS)}])) as value
+  from vals
+) order by percent
+""",
+        "top_hits_by_lang": f"""
+with {osql.bm25_scores_cte(terms=TERMS_OR)},
+hits as (
+  select d.lang, s.doc_id, s.score from scored s join documents d using (doc_id)
+),
+ranked as (
+  select lang, doc_id, score,
+         row_number() over (partition by lang order by score desc, doc_id asc) as rnk
+  from hits
+)
+select lang, doc_id, round(score, 5) as score from ranked where rnk <= {TOP_HITS_SIZE}
+""",
+        "events_date_histogram": """
+select date_trunc('day', ts) as key, count(*)::BIGINT as doc_count,
+       round(avg(value), 5) as avg_value
+from events where ts is not null group by 1 order by 1
+""",
+        "cardinality_user_hll": osql.hll_cardinality_sql("events", "user_id", HLL_P),
+        "significant_terms_jlh": f"""
+with {osql.matched_ids_cte(TERMS_AND, len(set(TERMS_AND)))},
+hterms as (select distinct m.doc_id, t.term from matched m join mtoks t using (doc_id)),
+fg as (
+  select term, count(*)::BIGINT as fg_df from hterms
+  group by term having count(*) >= {SIG_MIN_DOC}
+),
+bg as (select term, count(distinct doc_id)::BIGINT as bg_df from mtoks group by term),
+sizes as (
+  select (select count(*)::DOUBLE from matched) as fg_size,
+         (select count(*)::DOUBLE from documents) as bg_size
+)
+select term, fg_df, bg_df,
+       round(((fg_df / fg_size) - (bg_df / bg_size))
+             * ((fg_df / fg_size) / (bg_df / bg_size)), 6) as score
+from fg join bg using (term) cross join sizes
+where (fg_df / fg_size) > (bg_df / bg_size)
+order by score desc, term asc limit {SIG_TERMS_N}
+""",
+        "bm25_page2": (
+            f"with {osql.bm25_scores_cte(terms=TERMS_OR)}\n"
+            "select doc_id, round(score, 5) as score from scored\n"
+            f"order by scored.score desc, doc_id asc limit {TOPK} offset {TOPK}"
+        ),
+        "bm25_range_filtered": (
+            f"with {osql.bm25_scores_cte(terms=TERMS_OR)}\n"
+            "select s.doc_id, round(s.score, 5) as score\n"
+            "from scored s join documents d using (doc_id)\n"
+            f"where d.n_chars >= {NCHARS_LO} and d.n_chars <= {NCHARS_HI}\n"
+            f"order by s.score desc, s.doc_id asc limit {TOPK}"
+        ),
         "phrase_match_count": (
             f"with {osql.phrase_scores_cte(phrase=PHRASE)}\n"
             "select count(*)::BIGINT as hits from pdocs"

@@ -867,3 +867,69 @@ cand as (
 )
 select doc_a, doc_b, hamming from cand where hamming <= {max_hamming}
 """
+
+
+# --- ES search aggregations over hits (plans/aggs.py) -----------------------
+
+
+def matched_ids_cte(
+    terms: list[str],
+    msm: int,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text: str = "text",
+) -> str:
+    """CTE chain exposing ``matched(doc_id)`` — docs containing at least
+    ``msm`` distinct query terms (ES bool match; AND ≡ len(terms), OR ≡ 1).
+    Mirrors InvertedIndex.score_matches' matched set."""
+    toks = tokens_sql(text)
+    term_list = ", ".join("'" + t.replace("'", "''") + "'" for t in sorted(set(terms)))
+    return f"""
+mtoks as (select {id_col} as doc_id, unnest({toks}) as term from {table}),
+matched as (
+  select doc_id from (
+    select doc_id, count(distinct term) as nt from mtoks
+    where term in ({term_list}) group by doc_id
+  ) where nt >= {msm}
+)"""
+
+
+def hll_cardinality_sql(
+    table: str,
+    col: str,
+    p: int = 12,
+    round_to: int = 2,
+    where: str | None = None,
+) -> str:
+    """DuckDB twin of extras/sketches.py hll_cardinality: SAME md5-60-bit
+    hash, SAME register/rank derivation (length(bin(w)) strips leading
+    zeros in both engines), SAME alpha and small-range correction — the
+    estimate hash-matches Spark's up to the shared rounding."""
+    from .sketches import HLL_HASH_BITS, hll_alpha
+
+    m = 1 << p
+    alpha = hll_alpha(m)
+    wbits = HLL_HASH_BITS - p
+    w = f"where {where}" if where else ""
+    return f"""
+with h as (
+  select {md5_long_sql(col)} as h from {table} {w}{"and" if where else "where"} {col} is not null
+),
+regs as (
+  select h % {m} as register,
+         max(case when h >> {p} = 0 then {wbits + 1}
+             else {wbits + 1} - length(bin(h >> {p})) end) as rank
+  from h group by register
+),
+agg as (
+  select sum(power(2.0, -rank)) as s_present, count(*) as v_present from regs
+)
+select round(
+  case when v_present = 0 then 0.0
+       when ({alpha!r}::DOUBLE * {m} * {m}) / (s_present + ({m} - v_present)) <= {2.5 * m}::DOUBLE
+            and ({m} - v_present) > 0
+       then {float(m)!r}::DOUBLE * ln({float(m)!r}::DOUBLE / ({m} - v_present))
+       else ({alpha!r}::DOUBLE * {m} * {m}) / (s_present + ({m} - v_present))
+  end, {round_to}) as estimate
+from agg
+"""

@@ -1,0 +1,284 @@
+"""ES search-request aggregations over a hits DataFrame — Spark-first.
+
+The reference plugin is itself one ES aggregation
+(``GeoPointClusteringAggregator``); a user of the reference composes it with
+the host engine's other aggregations in the same search request (``aggs``
+block over the matched-document set, reference
+``InternalGeoPointClustering.java`` reduce framework).  This module provides
+those host-engine aggregations as plain DataFrame transforms over any "hits"
+frame (the output of ``InvertedIndex`` matching joined back to the source
+table), so they compose with BM25/geo matching exactly like ES ``aggs``
+compose with ``query``.
+
+Every aggregation here is a single declarative groupBy/window — Catalyst
+plans partial (map-side) aggregation before the shuffle, so each one is one
+shuffle on the bucket key at any scale.  Nothing collects to the driver.
+
+Scale notes per aggregation are in the docstrings; the 100 TB rule of thumb:
+bucketing aggs (histogram/date_histogram/terms) shuffle ≤ one row per
+(partition, bucket) thanks to partial agg; metric aggs (stats/percentiles/
+cardinality) reduce to O(buckets) rows.  Exact percentiles sort within
+groups — at 100 TB use ``approximate=True`` (t-digest-style
+``percentile_approx``, mergeable fixed-size state) exactly like ES does
+(ES percentiles IS t-digest and documents the same exactness caveat).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "histogram",
+    "date_histogram",
+    "stats",
+    "extended_stats",
+    "percentiles",
+    "top_hits",
+    "cardinality_exact",
+    "significant_terms_jlh",
+]
+
+
+def histogram(
+    hits: DataFrame,
+    col: str,
+    interval: float,
+    *,
+    min_doc_count: int = 1,
+    key_name: str = "key",
+    count_name: str = "doc_count",
+) -> DataFrame:
+    """ES ``histogram`` aggregation: bucket ``col`` into fixed-width bins.
+
+    ES semantics: ``key = floor(value / interval) * interval`` (works for
+    negative values too — floor, not trunc), one row per non-empty bucket
+    with ``doc_count``.  ``min_doc_count=0`` (dense buckets between min and
+    max) is deliberately unsupported: materializing empty buckets is a
+    driver-side range join in ES too, and every real dashboard uses ≥ 1.
+
+    Scale: one shuffle on the bucket key with map-side partial counts —
+    at most (partitions × buckets) rows move.
+    """
+    if interval <= 0:
+        raise ValueError(f"interval must be > 0: {interval}")
+    if min_doc_count < 1:
+        raise ValueError("min_doc_count=0 (empty buckets) is not supported")
+    key = (F.floor(F.col(col) / F.lit(float(interval))) * F.lit(float(interval))).alias(
+        key_name
+    )
+    out = (
+        hits.where(F.col(col).isNotNull())
+        .groupBy(key)
+        .agg(F.count(F.lit(1)).alias(count_name))
+    )
+    if min_doc_count > 1:
+        out = out.where(F.col(count_name) >= min_doc_count)
+    return out.orderBy(F.asc(key_name))
+
+
+def date_histogram(
+    hits: DataFrame,
+    ts_col: str,
+    calendar_interval: str = "day",
+    *,
+    key_name: str = "key",
+    count_name: str = "doc_count",
+) -> DataFrame:
+    """ES ``date_histogram`` with a calendar interval (day/week/month/...).
+
+    Truncates the timestamp with ``date_trunc`` (UTC bucket edges, matching
+    ES's default time_zone) and counts per bucket.  Returns the bucket key
+    as a DATE for day-or-coarser intervals so the key is engine-portable.
+
+    Scale: identical shape to :func:`histogram` — one partial-agg shuffle.
+    """
+    allowed = {"day", "week", "month", "quarter", "year", "hour", "minute"}
+    if calendar_interval not in allowed:
+        raise ValueError(f"calendar_interval must be one of {sorted(allowed)}")
+    trunc = F.date_trunc(calendar_interval, F.col(ts_col))
+    if calendar_interval in {"day", "week", "month", "quarter", "year"}:
+        key = F.to_date(trunc).alias(key_name)
+    else:
+        key = trunc.alias(key_name)
+    return (
+        hits.where(F.col(ts_col).isNotNull())
+        .groupBy(key)
+        .agg(F.count(F.lit(1)).alias(count_name))
+        .orderBy(F.asc(key_name))
+    )
+
+
+def stats(hits: DataFrame, col: str, *, round_to: int | None = None) -> DataFrame:
+    """ES ``stats`` aggregation: count / min / max / sum / avg of a field.
+
+    One row out; Spark computes all five in a single partial+final agg pass
+    (no extra scan per metric).  ``round_to`` rounds the float columns for
+    cross-engine comparison (fp sum order differs between engines).
+    """
+    c = F.col(col)
+    rnd = (lambda e: F.round(e, round_to)) if round_to is not None else (lambda e: e)
+    return hits.agg(
+        F.count(c).alias("count"),
+        F.min(c).alias("min"),
+        F.max(c).alias("max"),
+        rnd(F.sum(c).cast("double")).alias("sum"),
+        rnd(F.avg(c)).alias("avg"),
+    )
+
+
+def extended_stats(
+    hits: DataFrame, col: str, *, sigma: float = 2.0, round_to: int | None = None
+) -> DataFrame:
+    """ES ``extended_stats``: stats + sum_of_squares, variance (population,
+    like ES), std_deviation and the ±sigma std-deviation bounds."""
+    c = F.col(col).cast("double")
+    rnd = (lambda e: F.round(e, round_to)) if round_to is not None else (lambda e: e)
+    return hits.agg(
+        F.count(c).alias("count"),
+        F.min(c).alias("min"),
+        F.max(c).alias("max"),
+        rnd(F.sum(c)).alias("sum"),
+        rnd(F.avg(c)).alias("avg"),
+        rnd(F.sum(c * c)).alias("sum_of_squares"),
+        rnd(F.var_pop(c)).alias("variance"),
+        rnd(F.stddev_pop(c)).alias("std_deviation"),
+        rnd(F.avg(c) + F.lit(sigma) * F.stddev_pop(c)).alias("std_upper"),
+        rnd(F.avg(c) - F.lit(sigma) * F.stddev_pop(c)).alias("std_lower"),
+    )
+
+
+def percentiles(
+    hits: DataFrame,
+    col: str,
+    percents: list[float] = (1.0, 5.0, 25.0, 50.0, 75.0, 95.0, 99.0),
+    *,
+    approximate: bool = False,
+    accuracy: int = 10_000,
+    round_to: int | None = None,
+) -> DataFrame:
+    """ES ``percentiles`` aggregation → rows ``(percent, value)``.
+
+    ``approximate=False`` computes EXACT linear-interpolation percentiles
+    (Spark ``percentile``; identical to SQL ``quantile_cont`` / numpy
+    ``linear``) — right for correctness gates and small hit sets, but it
+    sorts values within the (single) group, so at 100 TB use
+    ``approximate=True``: ``percentile_approx`` keeps a bounded mergeable
+    summary per partition (the same design point as ES's t-digest — ES
+    percentiles are THEMSELVES approximate and document rank-error, so the
+    approx path is the ES-faithful one at scale).
+    """
+    pcts = [float(p) for p in percents]
+    if not pcts or any(not 0.0 <= p <= 100.0 for p in pcts):
+        raise ValueError(f"percents must be within [0, 100]: {percents}")
+    c = F.col(col).cast("double")
+    fracs = F.array(*[F.lit(p / 100.0) for p in pcts])
+    if approximate:
+        vals = F.percentile_approx(c, fracs, F.lit(accuracy))
+    else:
+        vals = F.percentile(c, fracs)
+    arr = hits.agg(vals.alias("vals"))
+    pairs = arr.select(
+        F.posexplode(F.col("vals")).alias("pos", "value"),
+    ).select(
+        F.element_at(
+            F.array(*[F.lit(p) for p in pcts]), F.col("pos") + 1
+        ).alias("percent"),
+        F.col("value"),
+    )
+    if round_to is not None:
+        pairs = pairs.select(
+            "percent", F.round(F.col("value"), round_to).alias("value")
+        )
+    return pairs.orderBy("percent")
+
+
+def top_hits(
+    hits: DataFrame,
+    bucket_col: str,
+    order_by: list[Column],
+    size: int = 3,
+) -> DataFrame:
+    """ES ``top_hits`` sub-aggregation: per bucket, the top ``size`` hit
+    rows under a deterministic sort (pass a total order — e.g.
+    ``[F.desc("score"), F.asc("doc_id")]`` — or bucket boundaries are
+    nondeterministic, same as ES without a tiebreaker sort).
+
+    Scale: one window over the bucket key (single shuffle); rank filter
+    prunes to ``size`` rows per bucket before anything else happens.
+    Skewed buckets: the window sort is per-key — a pathological single
+    bucket holding most rows serializes on one task; pre-truncate per
+    partition first if that's your data (same mitigation as search_batch).
+    """
+    if size < 1:
+        raise ValueError(f"size must be >= 1: {size}")
+    w = Window.partitionBy(bucket_col).orderBy(*order_by)
+    return (
+        hits.withColumn("_rank", F.row_number().over(w))
+        .where(F.col("_rank") <= size)
+        .drop("_rank")
+    )
+
+
+def cardinality_exact(hits: DataFrame, col: str, *, name: str = "value") -> DataFrame:
+    """Exact distinct count (the semantics ES ``cardinality`` approximates).
+
+    One row out.  At 100 TB an exact distinct is a full shuffle of the
+    distinct keys — use :mod:`..extras.sketches` (HLL, mergeable
+    fixed-size registers — what ES cardinality actually runs) instead.
+    """
+    return hits.agg(F.count_distinct(F.col(col)).alias(name))
+
+
+def significant_terms_jlh(
+    hits_terms: DataFrame,
+    background: DataFrame,
+    *,
+    fg_size: int,
+    bg_size: int,
+    size: int = 10,
+    min_doc_count: int = 2,
+    round_to: int = 6,
+) -> DataFrame:
+    """ES ``significant_terms`` with the default JLH heuristic.
+
+    Inputs: ``hits_terms`` = one row per (doc, term) over the MATCHED set
+    (term deduped per doc — document frequency semantics), ``background`` =
+    per-term background document frequency ``(term, df)`` (the index's term
+    dictionary — at scale this is the precomputed term_stats parquet, no
+    second corpus scan).  ``fg_size`` / ``bg_size`` are the matched and
+    total doc counts.
+
+    JLH score (ES JLHScore.java, public formula):
+        fg_pct = fg_df / fg_size ; bg_pct = bg_df / bg_size
+        score  = (fg_pct - bg_pct) * (fg_pct / bg_pct)
+    keeping terms where fg_pct > bg_pct and fg_df >= min_doc_count; top
+    ``size`` by (score desc, term asc).
+
+    Scale: foreground agg is one shuffle over hit-doc terms (hits ≪ corpus);
+    the background join is a join against the term dictionary on term —
+    broadcastable when the foreground term set is small (it is ≤ the hits'
+    vocabulary), expressed here as a plain join so AQE picks the strategy.
+    """
+    if fg_size <= 0 or bg_size <= 0:
+        raise ValueError("fg_size and bg_size must be positive")
+    fg = (
+        hits_terms.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("fg_df"))
+        .where(F.col("fg_df") >= min_doc_count)
+    )
+    joined = fg.join(background.select("term", F.col("df").alias("bg_df")), on="term")
+    fg_pct = F.col("fg_df").cast("double") / F.lit(float(fg_size))
+    bg_pct = F.col("bg_df").cast("double") / F.lit(float(bg_size))
+    score = (fg_pct - bg_pct) * (fg_pct / bg_pct)
+    return (
+        joined.where(fg_pct > bg_pct)
+        .select(
+            "term",
+            F.col("fg_df"),
+            F.col("bg_df"),
+            F.round(score, round_to).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("term"))
+        .limit(size)
+    )

@@ -413,15 +413,28 @@ class InvertedIndex:
             )
         return rows.select("doc_id").distinct().count()
 
-    def search(
+    def score_matches(
         self,
         terms: list[str],
-        k: int = 10,
         mode: str = "OR",
         params: bm25.Bm25Params = bm25.Bm25Params(),
         minimum_should_match: int | None = None,
+        doc_id_filter: DataFrame | None = None,
     ) -> DataFrame:
-        """BM25 top-k: DataFrame (doc_id, score) ranked, ≤ k rows (H7/H8).
+        """ALL matching docs with their BM25 scores: (doc_id, score), unranked.
+
+        The aggregation-composition entry point: ES runs its ``aggs`` block
+        over every hit, not just the top-k page, so histogram / stats /
+        top_hits / significant_terms compose with this (see plans/aggs.py)
+        the way the reference's clustering aggregation composes with the
+        host engine's matched-document set
+        (GeoPointClusteringAggregator.java:87-96).
+
+        ``doc_id_filter``: ES filter context — a DataFrame with a ``doc_id``
+        column (internal ids); postings rows are semi-joined against it
+        BEFORE scoring.  Per-doc BM25 is independent of other docs (corpus
+        stats are index-level), so filter-then-score equals score-then-filter
+        — ES's non-scoring filter clause exactly.
 
         ``minimum_should_match``: ES bool semantics — keep docs matching at
         least that many distinct query terms; scoring is unchanged (the
@@ -434,6 +447,10 @@ class InvertedIndex:
         rows = self._live(
             self.term_doc_rows([t for t in terms if t in df_map], params.lucene_norms)
         )
+        if doc_id_filter is not None:
+            rows = rows.join(
+                doc_id_filter.select("doc_id").distinct(), on="doc_id", how="left_semi"
+            )
         if not df_map:
             return rows.select("doc_id", F.lit(0.0).alias("score")).limit(0)
 
@@ -467,7 +484,44 @@ class InvertedIndex:
             )
         if msm > 1:
             agg = agg.where(F.col("_nterms") >= msm)
-        return agg.select("doc_id", "score").orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        return agg.select("doc_id", "score")
+
+    def search(
+        self,
+        terms: list[str],
+        k: int = 10,
+        mode: str = "OR",
+        params: bm25.Bm25Params = bm25.Bm25Params(),
+        minimum_should_match: int | None = None,
+        doc_id_filter: DataFrame | None = None,
+        search_after: tuple[float, int] | None = None,
+    ) -> DataFrame:
+        """BM25 top-k: DataFrame (doc_id, score) ranked, ≤ k rows (H7/H8).
+
+        ``search_after``: ES cursor pagination — a ``(score, doc_id)`` pair
+        (the last hit of the previous page under the total order
+        ``score desc, doc_id asc``); only hits STRICTLY after the cursor are
+        returned.  Like ES, this is O(k) state however deep the page (no
+        ``from+size`` window blow-up): the predicate prunes before the
+        global top-k, so page 1000 costs the same shuffle as page 1.
+
+        See :meth:`score_matches` for ``doc_id_filter`` (ES filter context)
+        and ``minimum_should_match``.
+        """
+        agg = self.score_matches(
+            terms,
+            mode,
+            params,
+            minimum_should_match=minimum_should_match,
+            doc_id_filter=doc_id_filter,
+        )
+        if search_after is not None:
+            s0, d0 = float(search_after[0]), int(search_after[1])
+            agg = agg.where(
+                (F.col("score") < F.lit(s0))
+                | ((F.col("score") == F.lit(s0)) & (F.col("doc_id") > F.lit(d0)))
+            )
+        return agg.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
     def search_batch(
         self,
