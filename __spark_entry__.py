@@ -1053,6 +1053,76 @@ def _q_bm25_range_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MLT_DOC = 42
+MLT_MAX_TERMS = 10
+MLT_MIN_TF = 2
+MLT_MIN_DF = 5
+HL_K = 5
+HL_FRAG, HL_PAD = 100, 30
+MM_TITLE_CHARS = 60
+MM_TIE = 0.3
+
+
+def _q_mlt_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``more_like_this``: mine the liked doc's interesting terms
+    (tf·idf-ranked, Lucene MoreLikeThis), search them, exclude the source."""
+    index = _index_for(spark, sf_dir)
+    docs = _docs(spark, sf_dir)
+    text = docs.where(F.col("doc_id") == MLT_DOC).select("text").collect()[0][0]
+    internal = (
+        index.docmap().where(F.col("orig_id") == MLT_DOC).select("doc_id").collect()
+    )[0][0]
+    topk = index.more_like_this(
+        text,
+        k=TOPK,
+        exclude_doc_ids=[internal],
+        max_query_terms=MLT_MAX_TERMS,
+        min_term_freq=MLT_MIN_TF,
+        min_doc_freq=MLT_MIN_DF,
+    )
+    ids = index.docmap().select("doc_id", "orig_id")
+    return topk.join(ids, on="doc_id").select(
+        F.col("orig_id").alias("doc_id"), F.round("score", 5).alias("score")
+    )
+
+
+def _q_highlight_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``highlight`` (plain highlighter): snippets for the top hits."""
+    from elasticsearch_aggregation_geoclustering_spark.functions.highlight import (
+        highlight_first_match,
+    )
+
+    index = _index_for(spark, sf_dir)
+    topk = index.search(TERMS_OR, k=HL_K)
+    ids = index.docmap().select("doc_id", "orig_id")
+    docs = _docs(spark, sf_dir).select(F.col("doc_id").alias("orig_id"), "text")
+    hits = topk.join(ids, on="doc_id").join(docs, on="orig_id")
+    return hits.select(
+        F.col("orig_id").alias("doc_id"),
+        F.round("score", 5).alias("score"),
+        highlight_first_match(
+            F.col("text"), TERMS_OR, frag_size=HL_FRAG, pad=HL_PAD
+        ).alias("snippet"),
+    )
+
+
+def _q_multi_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``multi_match`` best_fields over (title, body) with a tie_breaker —
+    title is a deterministic derived field (leading chars), each field scored
+    with its OWN BM25 statistics like ES per-field postings."""
+    from elasticsearch_aggregation_geoclustering_spark.plans.multimatch import (
+        multi_match_best_fields,
+    )
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "title", F.substring(F.col("text"), 1, MM_TITLE_CHARS)
+    )
+    topk = multi_match_best_fields(
+        docs, TERMS_OR, ["title", "text"], k=TOPK, tie_breaker=MM_TIE
+    )
+    return topk.select("doc_id", F.round("score", 5).alias("score"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # geo clustering operator family (SURVEY.md §2.1)
@@ -1102,6 +1172,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "significant_terms_jlh": _q_significant_terms,
         "bm25_page2": _q_bm25_page2,
         "bm25_range_filtered": _q_bm25_range_filtered,
+        "mlt_topk": _q_mlt_topk,
+        "highlight_top5": _q_highlight_top5,
+        "multi_match_best_fields": _q_multi_match,
         # training-data pipeline: dedup
         "dedup_exact_groups": _q_dedup_exact_groups,
         "dedup_keep_one": _q_dedup_keep_one,
@@ -1353,6 +1426,106 @@ select * from (values
 """
 
 
+def _mlt_sql() -> str:
+    """more_like_this: term mining (tf >= MIN_TF, df >= MIN_DF, rank by
+    tf * (ln(N/(df+1)) + 1), top MAX_TERMS) then BM25-OR, source excluded."""
+    toks = osql.tokens_sql("text")
+    return f"""
+with mlt_doc as (
+  select unnest({toks}) as term from documents where doc_id = {MLT_DOC}
+),
+mlt_tf as (
+  select term, count(*)::BIGINT as tf from mlt_doc
+  group by term having count(*) >= {MLT_MIN_TF}
+),
+mlt_alltoks as (select doc_id, unnest({toks}) as term from documents),
+mlt_df as (select term, count(distinct doc_id)::BIGINT as df from mlt_alltoks group by term),
+mlt_sel as (
+  select t.term from mlt_tf t join mlt_df d using (term)
+  where d.df >= {MLT_MIN_DF}
+  order by t.tf::DOUBLE * (ln((select count(*) from documents)::DOUBLE / (d.df + 1.0)) + 1.0) desc,
+           t.term asc
+  limit {MLT_MAX_TERMS}
+),
+{osql.bm25_scores_cte(term_filter_sql="term in (select term from mlt_sel)")}
+select doc_id, round(score, 5) as score from scored
+where doc_id != {MLT_DOC}
+order by scored.score desc, doc_id asc limit {TOPK}
+"""
+
+
+def _highlight_sql() -> str:
+    """Plain-highlighter snippets, byte-identical string ops: normalize with
+    the tokenizer regex ('g' flag — DuckDB replaces first-only by default,
+    Spark replaces all), strpos the padded token, substr the fragment,
+    wrap the FIRST-matching term (ties impossible: distinct padded tokens
+    cannot share a start offset)."""
+    from elasticsearch_aggregation_geoclustering_spark.functions.tokenizer import (
+        TOKEN_SPLIT_REGEX,
+    )
+
+    terms = sorted(set(t.lower() for t in TERMS_OR))
+    inf = 2_147_483_647
+    pos_cols = ",\n         ".join(
+        f"strpos(padded, ' {t} ') as p{i}" for i, t in enumerate(terms)
+    )
+    minpos = ", ".join(
+        f"case when p{i} > 0 then p{i} else {inf} end" for i in range(len(terms))
+    )
+    wrap_cases = "\n            ".join(
+        f"when p{i} = minpos then replace(frag, ' {t} ', ' <em>{t}</em> ')"
+        for i, t in enumerate(terms[:-1])
+    )
+    last = terms[-1]
+    return f"""
+with {osql.bm25_scores_cte(terms=TERMS_OR)},
+top5 as (
+  select doc_id, score from scored order by score desc, doc_id asc limit {HL_K}
+),
+h as (
+  select t.doc_id, t.score,
+         ' ' || regexp_replace(lower(d.text), '{TOKEN_SPLIT_REGEX}', ' ', 'g') || ' ' as padded
+  from top5 t join documents d using (doc_id)
+),
+hp as (
+  select doc_id, score, padded,
+         {pos_cols}
+  from h
+),
+hm as (select *, least({minpos}) as minpos from hp),
+hf as (select *, substr(padded, greatest(1, minpos - {HL_PAD}), {HL_FRAG}) as frag from hm)
+select doc_id, round(score, 5) as score,
+       case when minpos = {inf} then null
+            {wrap_cases}
+            else replace(frag, ' {last} ', ' <em>{last}</em> ') end as snippet
+from hf
+"""
+
+
+def _multi_match_sql() -> str:
+    """best_fields dis_max: per-field BM25 CTEs (namespaced), full outer
+    join, greatest + tie_breaker * rest — operand order mirrors
+    plans/multimatch.py exactly."""
+    title_cte = osql.bm25_scores_cte(
+        terms=TERMS_OR, text=f"substr(text, 1, {MM_TITLE_CHARS})", cte_prefix="t_"
+    )
+    body_cte = osql.bm25_scores_cte(terms=TERMS_OR, cte_prefix="b_")
+    sa = "coalesce(a.score, 0.0::DOUBLE)"
+    sb = "coalesce(b.score, 0.0::DOUBLE)"
+    return f"""
+with {title_cte},
+{body_cte}
+select coalesce(a.doc_id, b.doc_id) as doc_id,
+       round(greatest({sa}, {sb})
+             + {MM_TIE!r}::DOUBLE * (({sa} + {sb}) - greatest({sa}, {sb})), 5) as score
+from t_scored a full outer join b_scored b on a.doc_id = b.doc_id
+order by greatest({sa}, {sb})
+         + {MM_TIE!r}::DOUBLE * (({sa} + {sb}) - greatest({sa}, {sb})) desc,
+         coalesce(a.doc_id, b.doc_id) asc
+limit {TOPK}
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     toks = osql.tokens_sql("text")
     terms_all = sorted(set(TERMS_OR + TERMS_AND))
@@ -1490,6 +1663,9 @@ order by score desc, term asc limit {SIG_TERMS_N}
             f"where d.n_chars >= {NCHARS_LO} and d.n_chars <= {NCHARS_HI}\n"
             f"order by s.score desc, s.doc_id asc limit {TOPK}"
         ),
+        "mlt_topk": _mlt_sql(),
+        "highlight_top5": _highlight_sql(),
+        "multi_match_best_fields": _multi_match_sql(),
         "phrase_match_count": (
             f"with {osql.phrase_scores_cte(phrase=PHRASE)}\n"
             "select count(*)::BIGINT as hits from pdocs"

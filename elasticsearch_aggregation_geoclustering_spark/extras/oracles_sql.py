@@ -317,6 +317,7 @@ def bm25_scores_cte(
     max_expansions: int | None = None,
     k1: float = 1.2,
     b: float = 0.75,
+    cte_prefix: str = "",
 ) -> str:
     """CTE chain computing per-doc BM25 scores for ``terms`` (OR semantics),
     exposing ``scored(doc_id, score, nterms)``.  Mirrors functions/bm25.py:
@@ -330,6 +331,7 @@ def bm25_scores_cte(
     dictionary terms with the highest df (ties by term ascending — the same
     total order InvertedIndex._expand_terms sorts by)."""
     toks = tokens_sql(text)
+    p = cte_prefix
     if (terms is None) == (term_filter_sql is None):
         raise ValueError("pass exactly one of terms / term_filter_sql")
     if terms is not None:
@@ -340,39 +342,39 @@ def bm25_scores_cte(
         tf_where = f"where term in ({term_list})"
     else:
         limit = "" if max_expansions is None else f" limit {max_expansions}"
-        expansion = f"""expansion as (
+        expansion = f"""{p}expansion as (
   select term from (
-    select term, count(distinct doc_id)::BIGINT as df from toks
+    select term, count(distinct doc_id)::BIGINT as df from {p}toks
     where {term_filter_sql} group by term
   ) order by df desc, term asc{limit}
 ),
 """
-        tf_where = "where term in (select term from expansion)"
+        tf_where = f"where term in (select term from {p}expansion)"
     return f"""
-toks as (
+{p}toks as (
   select {id_col} as doc_id, unnest({toks}) as term from {table}
 ),
-{expansion}dl as (select doc_id, count(*)::BIGINT as dl from toks group by doc_id),
-stats as (
+{expansion}{p}dl as (select doc_id, count(*)::BIGINT as dl from {p}toks group by doc_id),
+{p}stats as (
   select (select count(*) from {table})::BIGINT as n,
-         (select count(*) from toks)::DOUBLE / (select count(*) from {table}) as avgdl
+         (select count(*) from {p}toks)::DOUBLE / (select count(*) from {table}) as avgdl
 ),
-tf as (
-  select doc_id, term, count(*)::BIGINT as tf from toks
+{p}tf as (
+  select doc_id, term, count(*)::BIGINT as tf from {p}toks
   {tf_where} group by doc_id, term
 ),
-dfreq as (select term, count(*)::BIGINT as df from tf group by term),
-contrib as (
-  select tf.doc_id, tf.term, tf.tf, dl.dl,
-         ln(1.0 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5)) as idf,
-         ln(1.0 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
-           * (tf.tf::DOUBLE / (tf.tf::DOUBLE + {k1} * (1.0 - {b} + {b} * dl.dl::DOUBLE / stats.avgdl)))
+{p}dfreq as (select term, count(*)::BIGINT as df from {p}tf group by term),
+{p}contrib as (
+  select {p}tf.doc_id, {p}tf.term, {p}tf.tf, {p}dl.dl,
+         ln(1.0 + ({p}stats.n - {p}dfreq.df + 0.5) / ({p}dfreq.df + 0.5)) as idf,
+         ln(1.0 + ({p}stats.n - {p}dfreq.df + 0.5) / ({p}dfreq.df + 0.5))
+           * ({p}tf.tf::DOUBLE / ({p}tf.tf::DOUBLE + {k1} * (1.0 - {b} + {b} * {p}dl.dl::DOUBLE / {p}stats.avgdl)))
            as w
-  from tf join dfreq using (term) join dl using (doc_id) cross join stats
+  from {p}tf join {p}dfreq using (term) join {p}dl using (doc_id) cross join {p}stats
 ),
-scored as (
+{p}scored as (
   select doc_id, sum(w)::DOUBLE as score, count(*)::BIGINT as nterms
-  from contrib group by doc_id
+  from {p}contrib group by doc_id
 )"""
 
 

@@ -1137,6 +1137,63 @@ class InvertedIndex:
             return self.spark.createDataFrame([], "doc_id long, score double")
         return self.search(terms, k, "OR", params)
 
+    def more_like_this_terms(
+        self,
+        text: str,
+        max_query_terms: int = 25,
+        min_term_freq: int = 2,
+        min_doc_freq: int = 5,
+    ) -> list[str]:
+        """ES ``more_like_this`` term selection (Lucene MoreLikeThis):
+        re-analyze the liked text, keep terms with ``tf >= min_term_freq``
+        and ``df >= min_doc_freq``, rank by the MLT interestingness score
+        ``tf * (ln(N / (df + 1)) + 1)`` and keep the best ``max_query_terms``
+        (ties by term ascending).  Driver-side over ONE document's tokens —
+        O(doc length); df lookups hit the term dictionary, term-pruned."""
+        import math
+        from collections import Counter
+
+        from ..functions.tokenizer import tokenize_python
+
+        if max_query_terms < 1:
+            raise ValueError(f"max_query_terms must be >= 1: {max_query_terms}")
+        tf = Counter(tokenize_python(text))
+        cands = sorted(t for t, c in tf.items() if c >= min_term_freq)
+        if not cands:
+            return []
+        dfm = self.df_of(cands)
+        scored = [
+            (tf[t] * (math.log(self.n_docs / (dfm[t] + 1.0)) + 1.0), t)
+            for t in cands
+            if dfm.get(t, 0) >= min_doc_freq
+        ]
+        scored.sort(key=lambda x: (-x[0], x[1]))
+        return [t for _, t in scored[:max_query_terms]]
+
+    def more_like_this(
+        self,
+        text: str,
+        k: int = 10,
+        *,
+        exclude_doc_ids: list[int] | None = None,
+        max_query_terms: int = 25,
+        min_term_freq: int = 2,
+        min_doc_freq: int = 5,
+        params: bm25.Bm25Params = bm25.Bm25Params(),
+    ) -> DataFrame:
+        """ES ``more_like_this`` query: select interesting terms from the
+        liked text, run them as an OR BM25 query, excluding the source doc(s)
+        (``exclude_doc_ids``, internal ids) like ES does for doc-ref likes."""
+        terms = self.more_like_this_terms(
+            text, max_query_terms, min_term_freq, min_doc_freq
+        )
+        if not terms:
+            return self.spark.createDataFrame([], "doc_id long, score double")
+        agg = self.score_matches(terms, "OR", params)
+        if exclude_doc_ids:
+            agg = agg.where(~F.col("doc_id").isin([int(d) for d in exclude_doc_ids]))
+        return agg.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
     def explain(
         self,
         doc_id: int,
