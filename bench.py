@@ -178,6 +178,11 @@ def main() -> None:
 
     timed("match_count_and", lambda: index.match_count(["table", "value", "customer"], "AND"))
 
+    # release the pinned decoded-postings cache before the dedup/ANN sections
+    # (their own persists shouldn't compete with the serving cache; a real
+    # cluster separates serving and pipeline executors)
+    index = index.refresh()
+
     # 3) geo_point_clustering over derived points (full operator incl merge)
     pts = events.select(
         (((F.col("event_id") * 7919) % 36000) / 100.0 - 180.0).alias("lon"),
@@ -272,6 +277,34 @@ def main() -> None:
     # 6) text analysis
     timed("text_quality", lambda: textstats.quality_features(docs, "text", "doc_id").count())
     timed("text_lang_id", lambda: textstats.lang_id(docs, "text", "doc_id").count())
+
+    # 7) ES search aggregations over hits + r5 query types
+    from elasticsearch_aggregation_geoclustering_spark.extras import sketches
+    from elasticsearch_aggregation_geoclustering_spark.plans import aggs, multimatch
+
+    def _aggs_over_hits():
+        scored = index.score_matches(["table", "value", "customer"])
+        hits = scored.join(index.docmap(), on="doc_id").join(
+            docs.select(F.col("doc_id").alias("orig_id"), "n_chars", "lang"),
+            on="orig_id",
+        )
+        aggs.extended_stats(hits, "n_chars", round_to=4).collect()
+        aggs.histogram(hits, "n_chars", 50.0).collect()
+        aggs.top_hits(hits, "lang", [F.desc("score"), F.asc("orig_id")], 2).collect()
+
+    timed("agg_hits_stats_hist_tophits", _aggs_over_hits)
+    timed(
+        "cardinality_hll",
+        lambda: sketches.hll_cardinality(events, "user_id").collect(),
+    )
+
+    def _mm():
+        d2 = docs.withColumn("title", F.substring("text", 1, 60))
+        multimatch.multi_match_best_fields(
+            d2, ["table", "value"], ["title", "text"], k=10, tie_breaker=0.3
+        ).collect()
+
+    timed("multi_match_best_fields", _mm)
 
     shutil.rmtree(index_dir, ignore_errors=True)
     extra["queries_warm"] = warm
