@@ -1123,6 +1123,91 @@ def _q_multi_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk.select("doc_id", F.round("score", 5).alias("score"))
 
 
+RESCORE_WINDOW = 80  # > TOPK so page depth is covered; truncation still binds
+RESCORE_W = 2.0
+FVF_FACTOR = 0.01
+TA_SHARDS = 4
+TA_SIZE = 5
+TA_SHARD_SIZE = 8
+SORT_K = 20
+
+
+def _q_bm25_rescore_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``rescore``: phrase query re-ranks the top term-query window."""
+    index = _index_for(spark, sf_dir)
+    topk = index.rescore_phrase(
+        TERMS_OR, PHRASE, k=TOPK, window_size=RESCORE_WINDOW,
+        rescore_weight=RESCORE_W,
+    )
+    ids = index.docmap().select("doc_id", "orig_id")
+    return topk.join(ids, on="doc_id").select(
+        F.col("orig_id").alias("doc_id"), F.round("score", 5).alias("score")
+    )
+
+
+def _q_function_score_fvf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``function_score`` field_value_factor: BM25 × ln(1 + factor·len)."""
+    from elasticsearch_aggregation_geoclustering_spark.plans.query import (
+        field_value_factor,
+    )
+
+    index = _index_for(spark, sf_dir)
+    ids = index.docmap().select("doc_id", "orig_id")
+    scored = (
+        index.score_matches(TERMS_OR)
+        .join(ids, on="doc_id")
+        .select(F.col("orig_id").alias("doc_id"), "score")
+    )
+    meta = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    out = field_value_factor(
+        scored, meta, "n_chars", factor=FVF_FACTOR, modifier="ln1p",
+        boost_mode="multiply", k=TOPK,
+    )
+    return out.select("doc_id", F.round("score", 5).alias("score"))
+
+
+def _q_terms_agg_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES terms agg under the truncated shard protocol (doc_count_error)."""
+    from elasticsearch_aggregation_geoclustering_spark.functions.tokenizer import (
+        tokenize_column,
+    )
+    from elasticsearch_aggregation_geoclustering_spark.plans import aggs
+
+    hits = _matched_docs(spark, sf_dir, TERMS_AND, len(set(TERMS_AND)))
+    hits_terms = hits.select(
+        "doc_id",
+        F.explode(F.array_distinct(tokenize_column(F.col("text")))).alias("term"),
+    )
+    return aggs.terms_agg_sharded(
+        hits_terms, n_shards=TA_SHARDS, size=TA_SIZE, shard_size=TA_SHARD_SIZE
+    )
+
+
+def _q_hits_sorted_by_len(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``sort`` by a field (not _score): longest matching docs first,
+    doc id tiebreak — the non-scored search path every ES client uses."""
+    hits = _matched_docs(spark, sf_dir, TERMS_AND, len(set(TERMS_AND)))
+    return (
+        hits.select("doc_id", "n_chars")
+        .orderBy(F.desc("n_chars"), F.asc("doc_id"))
+        .limit(SORT_K)
+    )
+
+
+def _q_token_count_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline composition: token-count distribution of the corpus (the
+    length profile every training-data curation step looks at)."""
+    from elasticsearch_aggregation_geoclustering_spark.functions.tokenizer import (
+        tokenize_column,
+    )
+    from elasticsearch_aggregation_geoclustering_spark.plans import aggs
+
+    counts = _docs(spark, sf_dir).select(
+        F.size(tokenize_column(F.col("text"))).alias("n_tokens")
+    )
+    return aggs.percentiles(counts, "n_tokens", PCTS, round_to=AGG_ROUND)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # geo clustering operator family (SURVEY.md §2.1)
@@ -1175,6 +1260,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mlt_topk": _q_mlt_topk,
         "highlight_top5": _q_highlight_top5,
         "multi_match_best_fields": _q_multi_match,
+        "bm25_rescore_phrase": _q_bm25_rescore_phrase,
+        "function_score_fvf": _q_function_score_fvf,
+        "terms_agg_sharded": _q_terms_agg_sharded,
+        "hits_sorted_by_len": _q_hits_sorted_by_len,
+        "token_count_percentiles": _q_token_count_percentiles,
         # training-data pipeline: dedup
         "dedup_exact_groups": _q_dedup_exact_groups,
         "dedup_keep_one": _q_dedup_keep_one,
@@ -1666,6 +1756,68 @@ order by score desc, term asc limit {SIG_TERMS_N}
         "mlt_topk": _mlt_sql(),
         "highlight_top5": _highlight_sql(),
         "multi_match_best_fields": _multi_match_sql(),
+        "bm25_rescore_phrase": f"""
+with {osql.bm25_scores_cte(terms=TERMS_OR)},
+win as (
+  select doc_id, score from scored order by score desc, doc_id asc limit {RESCORE_WINDOW}
+),
+{osql.phrase_scores_cte(phrase=PHRASE, cte_prefix="r_")}
+select w.doc_id,
+       round(1.0::DOUBLE * w.score + {RESCORE_W!r}::DOUBLE * coalesce(r.score, 0.0::DOUBLE), 5) as score
+from win w left join r_scored r using (doc_id)
+order by 1.0::DOUBLE * w.score + {RESCORE_W!r}::DOUBLE * coalesce(r.score, 0.0::DOUBLE) desc,
+         w.doc_id asc
+limit {TOPK}
+""",
+        "function_score_fvf": f"""
+with {osql.bm25_scores_cte(terms=TERMS_OR)}
+select s.doc_id,
+       round(s.score * ln(1.0::DOUBLE + {FVF_FACTOR!r}::DOUBLE * d.n_chars::DOUBLE), 5) as score
+from scored s join documents d using (doc_id)
+order by s.score * ln(1.0::DOUBLE + {FVF_FACTOR!r}::DOUBLE * d.n_chars::DOUBLE) desc,
+         s.doc_id asc
+limit {TOPK}
+""",
+        "terms_agg_sharded": f"""
+with {osql.matched_ids_cte(TERMS_AND, len(set(TERMS_AND)))},
+hterms as (select distinct m.doc_id, t.term from matched m join mtoks t using (doc_id)),
+counts as (
+  select doc_id % {TA_SHARDS} as shard, term, count(*)::BIGINT as cnt
+  from hterms group by 1, 2
+),
+reported as (
+  select shard, term, cnt from (
+    select *, row_number() over (partition by shard order by cnt desc, term asc) as rk
+    from counts
+  ) where rk <= {TA_SHARD_SIZE}
+),
+shard_last as (
+  select shard,
+         case when count(*) = {TA_SHARD_SIZE} then min(cnt) else 0 end as last_cnt
+  from reported group by shard
+),
+total as (select coalesce(sum(last_cnt), 0)::BIGINT as total_last from shard_last),
+per_term as (
+  select term, sum(cnt)::BIGINT as doc_count, sum(last_cnt)::BIGINT as reported_last
+  from reported join shard_last using (shard) group by term
+)
+select term, doc_count, (total_last - reported_last)::BIGINT as doc_count_error
+from per_term cross join total
+order by doc_count desc, term asc limit {TA_SIZE}
+""",
+        "hits_sorted_by_len": f"""
+with {osql.matched_ids_cte(TERMS_AND, len(set(TERMS_AND)))}
+select d.doc_id, d.n_chars from documents d join matched using (doc_id)
+order by d.n_chars desc, d.doc_id asc limit {SORT_K}
+""",
+        "token_count_percentiles": f"""
+with counts as (select len({osql.tokens_sql('text')})::DOUBLE as nt from documents)
+select percent, round(value, {AGG_ROUND}) as value from (
+  select unnest([{", ".join(f"{p!r}::DOUBLE" for p in PCTS)}]) as percent,
+         unnest(quantile_cont(nt, [{", ".join(f"{p / 100.0!r}::DOUBLE" for p in PCTS)}])) as value
+  from counts
+) order by percent
+""",
         "phrase_match_count": (
             f"with {osql.phrase_scores_cte(phrase=PHRASE)}\n"
             "select count(*)::BIGINT as hits from pdocs"

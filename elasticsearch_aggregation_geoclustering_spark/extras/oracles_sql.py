@@ -386,9 +386,11 @@ def phrase_scores_cte(
     phrase: list[str],
     k1: float = 1.2,
     b: float = 0.75,
+    cte_prefix: str = "",
 ) -> str:
     """CTE chain for an exact match_phrase query, exposing
-    ``scored(doc_id, score)`` and ``pdocs(doc_id, ptf)``.
+    ``scored(doc_id, score)`` and ``pdocs(doc_id, ptf)`` (names prefixed
+    by ``cte_prefix`` for multi-instance composition).
 
     Mirrors InvertedIndex.phrase_search: a phrase occurrence starts at
     position p iff every (term, offset) of the phrase is present at p+offset
@@ -405,40 +407,41 @@ def phrase_scores_cte(
     term_list = ", ".join(
         "'" + t.replace("'", "''") + "'" for t in sorted(set(phrase))
     )
+    p = cte_prefix
     return f"""
-t as (select {id_col} as doc_id, {toks} as toks from {table}),
-pos as (
-  select doc_id, i - 1 as pos, toks[i] as term
-  from t, unnest(range(1, len(toks) + 1)) as r(i)
+{p}t as (select {id_col} as doc_id, {toks} as toks from {table}),
+{p}pos as (
+  select doc_id, i - 1 as {p}pos, toks[i] as term
+  from {p}t, unnest(range(1, len(toks) + 1)) as r(i)
 ),
-offs as (select * from (values {offs_values}) as o(term, off)),
-starts as (
-  select p.doc_id, p.pos - o.off as start
-  from pos p join offs o using (term)
-  where p.pos - o.off >= 0
-  group by p.doc_id, p.pos - o.off
+{p}offs as (select * from (values {offs_values}) as o(term, off)),
+{p}starts as (
+  select p.doc_id, p.{p}pos - o.off as start
+  from {p}pos p join {p}offs o using (term)
+  where p.{p}pos - o.off >= 0
+  group by p.doc_id, p.{p}pos - o.off
   having count(distinct o.off) = {k}
 ),
-pdocs as (select doc_id, count(*)::BIGINT as ptf from starts group by doc_id),
-dl as (select doc_id, len(toks)::BIGINT as dl from t),
-stats as (
+{p}pdocs as (select doc_id, count(*)::BIGINT as ptf from {p}starts group by doc_id),
+{p}dl as (select doc_id, len(toks)::BIGINT as {p}dl from {p}t),
+{p}stats as (
   select (select count(*) from {table})::BIGINT as n,
-         (select count(*) from pos)::DOUBLE / (select count(*) from {table}) as avgdl
+         (select count(*) from {p}pos)::DOUBLE / (select count(*) from {table}) as avgdl
 ),
-dfreq as (
-  select term, count(distinct doc_id)::BIGINT as df from pos
+{p}dfreq as (
+  select term, count(distinct doc_id)::BIGINT as df from {p}pos
   where term in ({term_list}) group by term
 ),
-idf as (
-  select sum(ln(1.0 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))) as s
-  from offs join dfreq using (term) cross join stats
+{p}idf as (
+  select sum(ln(1.0 + ({p}stats.n - {p}dfreq.df + 0.5) / ({p}dfreq.df + 0.5))) as s
+  from {p}offs join {p}dfreq using (term) cross join {p}stats
 ),
-scored as (
-  select pdocs.doc_id,
-         idf.s * (pdocs.ptf::DOUBLE
-           / (pdocs.ptf::DOUBLE + {k1} * (1.0 - {b} + {b} * dl.dl::DOUBLE / stats.avgdl)))
+{p}scored as (
+  select {p}pdocs.doc_id,
+         {p}idf.s * ({p}pdocs.ptf::DOUBLE
+           / ({p}pdocs.ptf::DOUBLE + {k1} * (1.0 - {b} + {b} * {p}dl.{p}dl::DOUBLE / {p}stats.avgdl)))
            as score
-  from pdocs join dl using (doc_id) cross join stats cross join idf
+  from {p}pdocs join {p}dl using (doc_id) cross join {p}stats cross join {p}idf
 )"""
 
 

@@ -230,6 +230,83 @@ def cardinality_exact(hits: DataFrame, col: str, *, name: str = "value") -> Data
     return hits.agg(F.count_distinct(F.col(col)).alias(name))
 
 
+def terms_agg_sharded(
+    hits_terms: DataFrame,
+    *,
+    n_shards: int,
+    size: int = 10,
+    shard_size: int | None = None,
+    doc_col: str = "doc_id",
+) -> DataFrame:
+    """ES ``terms`` aggregation under the DISTRIBUTED shard protocol,
+    including its famous approximation: each shard returns only its local
+    top ``shard_size`` terms, the coordinator sums what was reported, and
+    ``doc_count_error`` bounds what may have been missed.
+
+    Protocol (org.elasticsearch.search.aggregations.bucket.terms):
+    - shard assignment: deterministic ``doc_id % n_shards`` (ES routes by
+      _id hash; modulo keeps the oracle SQL-reproducible),
+    - per shard: top ``shard_size`` terms by (local doc_count desc, term
+      asc); default ``shard_size = size * 1.5 + 10`` like ES,
+    - merge: sum reported counts per term; per-term ``doc_count_error`` =
+      Σ over shards that did NOT report the term of that shard's LAST
+      (smallest) returned count — a shard that returned fewer than
+      shard_size terms is exhausted and contributes 0,
+    - final: top ``size`` by (doc_count desc, term asc).
+
+    Returns (term, doc_count, doc_count_error).  The exact single-reduce
+    answer is the degenerate ``shard_size >= |vocabulary|`` case (all
+    errors 0) — the flag exists to REPRODUCE ES's truncated-shard-response
+    behavior, the same parity idea as the geo operator's ``shard_parity``.
+
+    Scale: two shuffles (shard,term groupBy; term merge), every frame
+    bounded by n_shards × shard_size after the window truncate.
+    """
+    if n_shards < 1 or size < 1:
+        raise ValueError("n_shards and size must be >= 1")
+    if shard_size is None:
+        shard_size = int(size * 1.5 + 10)  # ES default
+    if shard_size < size:
+        raise ValueError(f"shard_size must be >= size: {shard_size} < {size}")
+    counts = (
+        hits_terms.select((F.col(doc_col) % n_shards).alias("shard"), "term")
+        .groupBy("shard", "term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("shard").orderBy(F.desc("cnt"), F.asc("term"))
+    reported = (
+        counts.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= shard_size)
+        .drop("_rk")
+    )
+    shard_last = reported.groupBy("shard").agg(
+        F.when(F.count(F.lit(1)) == shard_size, F.min("cnt"))
+        .otherwise(F.lit(0))
+        .alias("last_cnt")
+    )
+    total_last = shard_last.agg(
+        F.coalesce(F.sum("last_cnt"), F.lit(0)).alias("total_last")
+    )
+    per_term = (
+        reported.join(shard_last, on="shard")
+        .groupBy("term")
+        .agg(
+            F.sum("cnt").alias("doc_count"),
+            F.sum("last_cnt").alias("reported_last"),
+        )
+    )
+    return (
+        per_term.crossJoin(total_last)
+        .select(
+            "term",
+            "doc_count",
+            (F.col("total_last") - F.col("reported_last")).alias("doc_count_error"),
+        )
+        .orderBy(F.desc("doc_count"), F.asc("term"))
+        .limit(size)
+    )
+
+
 def significant_terms_jlh(
     hits_terms: DataFrame,
     background: DataFrame,

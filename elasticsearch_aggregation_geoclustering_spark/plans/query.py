@@ -897,6 +897,18 @@ class InvertedIndex:
         occurrence contributes proportionally less, SloppyPhraseMatcher's
         weighting; see _sloppy_phrase_occurrences for the match criterion).
         """
+        scored = self.phrase_score_matches(phrase, params, slop)
+        return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    def phrase_score_matches(
+        self,
+        phrase: list[str],
+        params: bm25.Bm25Params = bm25.Bm25Params(),
+        slop: int = 0,
+    ) -> DataFrame:
+        """ALL phrase-matching docs with scores (doc_id, score), unranked —
+        the building block :meth:`phrase_search` truncates and
+        :meth:`rescore_phrase` joins (same math, see phrase_search)."""
         spark = self.spark
         if not phrase:
             return spark.createDataFrame([], "doc_id long, score double")
@@ -914,8 +926,49 @@ class InvertedIndex:
         denom = tf_d + F.lit(params.k1) * (
             F.lit(1.0) - F.lit(params.b) + F.lit(params.b) * dl_d / F.lit(self.avgdl)
         )
-        scored = occ.select("doc_id", (F.lit(idf_sum) * (tf_d / denom)).alias("score"))
-        return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        return occ.select("doc_id", (F.lit(idf_sum) * (tf_d / denom)).alias("score"))
+
+    def rescore_phrase(
+        self,
+        terms: list[str],
+        phrase: list[str],
+        k: int = 10,
+        window_size: int = 50,
+        *,
+        query_weight: float = 1.0,
+        rescore_weight: float = 1.0,
+        slop: int = 0,
+        mode: str = "OR",
+        params: bm25.Bm25Params = bm25.Bm25Params(),
+    ) -> DataFrame:
+        """ES ``rescore``: re-rank the top ``window_size`` hits of the term
+        query by combining with a phrase query (score_mode=total, the ES
+        default):
+
+            combined = query_weight * score + rescore_weight * phrase_score
+
+        Window docs that don't match the phrase keep ``query_weight *
+        score`` (phrase contributes 0), exactly like ES; docs outside the
+        window are untouched (with ``k <= window_size`` they can't appear).
+        Scale: the expensive phrase machinery joins against a ≤window_size
+        row frame — bounded rescoring cost is the whole point of the ES
+        rescore design, and the window side broadcasts.
+        """
+        if k > window_size:
+            raise ValueError(f"k must be <= window_size: {k} > {window_size}")
+        window = self.search(terms, k=window_size, mode=mode, params=params)
+        ph = self.phrase_score_matches(phrase, params, slop).withColumnRenamed(
+            "score", "rescore"
+        )
+        joined = window.join(ph, on="doc_id", how="left")
+        combined = F.lit(query_weight) * F.col("score") + F.lit(
+            rescore_weight
+        ) * F.coalesce(F.col("rescore"), F.lit(0.0))
+        return (
+            joined.select("doc_id", combined.alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
 
     def _expand_terms(
         self, cond: Column, max_expansions: int | None
@@ -1339,3 +1392,55 @@ def bm25_search_docs(
     return spark.createDataFrame(
         [(r["doc_id"], r["score"]) for r in rows], result_schema
     )
+
+
+def field_value_factor(
+    scored: DataFrame,
+    meta: DataFrame,
+    field: str,
+    *,
+    factor: float = 1.0,
+    modifier: str = "ln1p",
+    boost_mode: str = "multiply",
+    id_col: str = "doc_id",
+    k: int | None = None,
+) -> DataFrame:
+    """ES ``function_score`` with a ``field_value_factor`` function.
+
+    Combines a query-scored frame ``(doc_id, score)`` with a numeric doc
+    field:  ``fv = modifier(factor * field)`` then ``combined =
+    boost_mode(score, fv)``.  Supported modifiers (ES names): ``none``,
+    ``ln1p`` (ln(1+x)), ``log1p`` (log10(1+x)), ``sqrt``, ``square``;
+    boost_modes: ``multiply`` (ES default), ``sum``, ``replace``.
+
+    Scale: one join of the scored hits against the metadata scan on the id
+    (pushed column pruning: only ``field`` is read) and a codegen'd
+    arithmetic combine — no extra shuffle beyond the join.
+    """
+    fv: Column = F.lit(float(factor)) * F.col(field).cast("double")
+    if modifier == "none":
+        pass
+    elif modifier == "ln1p":
+        fv = F.log(F.lit(1.0) + fv)
+    elif modifier == "log1p":
+        fv = F.log10(F.lit(1.0) + fv)
+    elif modifier == "sqrt":
+        fv = F.sqrt(fv)
+    elif modifier == "square":
+        fv = fv * fv
+    else:
+        raise ValueError(f"unknown modifier: {modifier}")
+    if boost_mode == "multiply":
+        combined = F.col("score") * fv
+    elif boost_mode == "sum":
+        combined = F.col("score") + fv
+    elif boost_mode == "replace":
+        combined = fv
+    else:
+        raise ValueError(f"unknown boost_mode: {boost_mode}")
+    out = scored.join(
+        meta.select(F.col(id_col).alias("doc_id"), field), on="doc_id"
+    ).select("doc_id", combined.alias("score"))
+    if k is not None:
+        out = out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    return out
