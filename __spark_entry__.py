@@ -1208,6 +1208,50 @@ def _q_token_count_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return aggs.percentiles(counts, "n_tokens", PCTS, round_to=AGG_ROUND)
 
 
+NEG_TERMS = ["customer"]
+NEG_BOOST = 0.5
+SAMPLE_FRAC = 0.10
+STRATA_FRACS = {"en": 0.05, "fr": 1.0}
+STRATA_DEFAULT = 0.2
+SAMPLE_SALT = "split1"
+
+
+def _q_boosting_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``boosting`` query: positive hits demoted when matching negative."""
+    index = _index_for(spark, sf_dir)
+    topk = index.boosting_search(
+        TERMS_OR, NEG_TERMS, k=TOPK, negative_boost=NEG_BOOST
+    )
+    ids = index.docmap().select("doc_id", "orig_id")
+    return topk.join(ids, on="doc_id").select(
+        F.col("orig_id").alias("doc_id"), F.round("score", 5).alias("score")
+    )
+
+
+def _q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-addressed sampling (reproducible across runs,
+    partitionings and engines — the oracle reproduces it row-for-row)."""
+    from elasticsearch_aggregation_geoclustering_spark.extras import sampling
+
+    return sampling.hash_sample(
+        _docs(spark, sf_dir), "doc_id", SAMPLE_FRAC
+    ).select("doc_id", "n_chars")
+
+
+def _q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language deterministic sampling (downsample dominant strata)."""
+    from elasticsearch_aggregation_geoclustering_spark.extras import sampling
+
+    return sampling.stratified_hash_sample(
+        _docs(spark, sf_dir),
+        "doc_id",
+        "lang",
+        STRATA_FRACS,
+        default_fraction=STRATA_DEFAULT,
+        salt=SAMPLE_SALT,
+    ).select("doc_id", "lang")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # geo clustering operator family (SURVEY.md §2.1)
@@ -1261,6 +1305,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "highlight_top5": _q_highlight_top5,
         "multi_match_best_fields": _q_multi_match,
         "bm25_rescore_phrase": _q_bm25_rescore_phrase,
+        "boosting_search": _q_boosting_search,
+        "sample_hash_10pct": _q_sample_hash,
+        "sample_stratified_lang": _q_sample_stratified,
         "function_score_fvf": _q_function_score_fvf,
         "terms_agg_sharded": _q_terms_agg_sharded,
         "hits_sorted_by_len": _q_hits_sorted_by_len,
@@ -1756,6 +1803,32 @@ order by score desc, term asc limit {SIG_TERMS_N}
         "mlt_topk": _mlt_sql(),
         "highlight_top5": _highlight_sql(),
         "multi_match_best_fields": _multi_match_sql(),
+        "boosting_search": f"""
+with {osql.bm25_scores_cte(terms=TERMS_OR)},
+neg as (
+  select distinct doc_id from toks
+  where term in ({", ".join(f"'{t}'" for t in sorted(set(NEG_TERMS)))})
+)
+select s.doc_id,
+       round(case when n.doc_id is not null
+                  then s.score * {NEG_BOOST!r}::DOUBLE else s.score end, 5) as score
+from scored s left join neg n on s.doc_id = n.doc_id
+order by case when n.doc_id is not null
+              then s.score * {NEG_BOOST!r}::DOUBLE else s.score end desc,
+         s.doc_id asc
+limit {TOPK}
+""",
+        "sample_hash_10pct": f"""
+select doc_id, n_chars from documents
+where ('0x' || substr(md5('' || (doc_id)::VARCHAR), 1, 15))::BIGINT % 1000000
+      < {int(round(SAMPLE_FRAC * 1_000_000))}
+""",
+        "sample_stratified_lang": f"""
+select doc_id, lang from documents
+where ('0x' || substr(md5('{SAMPLE_SALT}' || (doc_id)::VARCHAR), 1, 15))::BIGINT % 1000000
+      < (case {" ".join(f"when lang = '{k}' then {int(round(v * 1_000_000))}" for k, v in sorted(STRATA_FRACS.items()))}
+         else {int(round(STRATA_DEFAULT * 1_000_000))} end)
+""",
         "bm25_rescore_phrase": f"""
 with {osql.bm25_scores_cte(terms=TERMS_OR)},
 win as (

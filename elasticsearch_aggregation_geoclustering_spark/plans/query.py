@@ -970,6 +970,46 @@ class InvertedIndex:
             .limit(k)
         )
 
+    def boosting_search(
+        self,
+        positive: list[str],
+        negative: list[str],
+        k: int = 10,
+        *,
+        negative_boost: float = 0.5,
+        mode: str = "OR",
+        params: bm25.Bm25Params = bm25.Bm25Params(),
+    ) -> DataFrame:
+        """ES ``boosting`` query: hits of the positive query, demoted (score
+        × ``negative_boost``) when they ALSO match the negative query — the
+        negative clause never selects or scores, it only demotes (Lucene
+        BoostingQuery / FunctionScoreQuery semantics).
+
+        Scale: the negative side reduces to a doc-id membership frame
+        (postings of the negative terms, distinct doc ids); the positive
+        scored frame left-semi-checks it via a join — both sides are
+        posting-row-sized, no corpus scan.
+        """
+        if not 0.0 <= negative_boost <= 1.0:
+            raise ValueError(f"negative_boost must be in [0, 1]: {negative_boost}")
+        pos = self.score_matches(positive, mode, params)
+        neg_terms = sorted(set(negative))
+        neg = (
+            self._live(self.term_doc_rows(neg_terms))
+            .select("doc_id")
+            .distinct()
+            .withColumn("_neg", F.lit(True))
+        )
+        joined = pos.join(neg, on="doc_id", how="left")
+        demoted = F.when(
+            F.col("_neg").isNotNull(), F.col("score") * F.lit(negative_boost)
+        ).otherwise(F.col("score"))
+        return (
+            joined.select("doc_id", demoted.alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+
     def _expand_terms(
         self, cond: Column, max_expansions: int | None
     ) -> list[str]:
