@@ -274,26 +274,33 @@ def terms_agg_sharded(
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     w = Window.partitionBy("shard").orderBy(F.desc("cnt"), F.asc("term"))
+    w_shard = Window.partitionBy("shard")  # same shuffle as w — no extra exchange
     reported = (
         counts.withColumn("_rk", F.row_number().over(w))
         .where(F.col("_rk") <= shard_size)
-        .drop("_rk")
-    )
-    shard_last = reported.groupBy("shard").agg(
-        F.when(F.count(F.lit(1)) == shard_size, F.min("cnt"))
-        .otherwise(F.lit(0))
-        .alias("last_cnt")
-    )
-    total_last = shard_last.agg(
-        F.coalesce(F.sum("last_cnt"), F.lit(0)).alias("total_last")
-    )
-    per_term = (
-        reported.join(shard_last, on="shard")
-        .groupBy("term")
-        .agg(
-            F.sum("cnt").alias("doc_count"),
-            F.sum("last_cnt").alias("reported_last"),
+        .withColumn(
+            "last_cnt",
+            F.when(
+                F.count(F.lit(1)).over(w_shard) == shard_size,
+                F.min("cnt").over(w_shard),
+            ).otherwise(F.lit(0).cast("long")),
         )
+        .select("shard", "term", "cnt", "last_cnt")
+    )
+    # reported is bounded (≤ n_shards × shard_size rows) and referenced by
+    # BOTH aggregates below — materialize it so the hits scan + tokenize
+    # upstream runs once, not once per reference (ReuseExchange only
+    # matches identical subplans; lazy localCheckpoint truncates the plan
+    # and defers the job to the first action)
+    reported = reported.localCheckpoint(eager=False)
+    total_last = (
+        reported.select("shard", "last_cnt")
+        .distinct()
+        .agg(F.coalesce(F.sum("last_cnt"), F.lit(0)).alias("total_last"))
+    )
+    per_term = reported.groupBy("term").agg(
+        F.sum("cnt").alias("doc_count"),
+        F.sum("last_cnt").alias("reported_last"),
     )
     return (
         per_term.crossJoin(total_last)
