@@ -172,9 +172,15 @@ def measured_pair(
         "probe_after": probe_after,
         "membw_before": membw_before,
         "membw_after": membw_after,
+        # r5 amendment 2: a SUPERLINEAR pair (eff > 1.05) is physically
+        # implausible for this workload on one box — it means the N leg ran
+        # into a contention burst the bracketing probes missed (observed:
+        # one N leg at 8.9k files/s vs 14-16k in every sibling pair, reading
+        # "1.247 efficiency").  A degraded-N pair certifies nothing.
         "quiet": min(probe_before, probe_after) >= QUIET_THRESHOLD
         and min(membw_before, membw_after) >= MEMBW_QUIET_THRESHOLD
-        and max(membw_before, membw_after) <= MEMBW_QUIET_CEILING,
+        and max(membw_before, membw_after) <= MEMBW_QUIET_CEILING
+        and (r_4n["files_per_sec"] / r_n["files_per_sec"] / 4.0) <= 1.05,
     }
 
 
@@ -197,8 +203,13 @@ def main() -> None:
     quiet_pairs = [p for p in pack_pairs if p["quiet"]] or pack_pairs
 
     def median_eff(pairs: list[dict]) -> float:
+        # true median: average the middle two for even counts (picking the
+        # upper one inflated a 2-quiet-pair session's headline — r5 fix)
         effs = sorted(p["efficiency"] for p in pairs)
-        return effs[len(effs) // 2]
+        mid = len(effs) // 2
+        if len(effs) % 2 == 0:
+            return round((effs[mid - 1] + effs[mid]) / 2.0, 4)
+        return effs[mid]
 
     # context modes (fused default shuffle, freqs payload): fewer repeats
     trials_n, trials_4n = [], []
@@ -308,10 +319,16 @@ as:
    (0.93-1.10) while the memcpy ceiling sat at 0.15 and pack-build pairs
    read 0.62-0.68 — the CPU probe is blind to the exact resource the
    pack build's page-cache shuffle stresses, so it certified windows that
-   were loud on the bus;
+   were loud on the bus.  A pair whose own efficiency reads **superlinear
+   (> 1.05)** is likewise disqualified (r5 amendment 2): 4× the cores
+   cannot legitimately give > 4.2× this workload's throughput on one box,
+   so such a reading means the N leg absorbed a burst the bracketing
+   probes missed — it would otherwise INFLATE the gate, which is exactly
+   the direction an honest protocol must refuse;
 3. the headline = **median per-pair raw efficiency over quiet pairs**
-   (all pairs, if fewer than two quiet pairs land in the attempt budget —
-   flagged in the table below);
+   (true median — middle-two average for even counts; all pairs, if fewer
+   than two quiet pairs land in the attempt budget — flagged in the table
+   below);
 4. the host-ceiling-normalized slope (raw ÷ same-session pure-CPU
    ceiling) is reported alongside for cross-session comparability, not as
    the gate.
