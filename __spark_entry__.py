@@ -1252,6 +1252,173 @@ def _q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang")
 
 
+# ---------------------------------------------------------------------------
+# third r5 surface wave: range/filters/weighted_avg/rare_terms/composite aggs,
+# geo_bounds/geo_centroid metrics, dis_max, field collapsing, term suggester
+# ---------------------------------------------------------------------------
+
+RANGES_NCHARS = [("short", None, 200.0), ("mid", 200.0, 300.0), ("long", 300.0, None)]
+FILTER_LANG = "en"
+FILTER_NCHARS_MIN = 300
+FILTER_SOURCES = ["src0", "src1", "src2"]
+WAVG_MOD = 7  # weight = event_id % WAVG_MOD + 1 (deterministic synthetic weight)
+WAVG_ROUND = 5
+RARE_TYPE = "error"
+RARE_CUTOFF = "2024-01-02 00:00:00"  # first day of the synthetic event stream
+RARE_MAX_DOC = 1
+RARE_SIZE = 10
+COMPOSITE_SIZE = 5
+COMPOSITE_INTERVAL = 100  # n_chars bucket width for the composite source
+DISMAX_TIE = 0.3
+COLLAPSE_K = 5
+SUGGEST_INPUT = "vale"  # 1 edit from 'value', 2 from 'table' — ranks by distance
+SUGGEST_SIZE = 5
+SUGGEST_MAX_EDITS = 2
+
+
+def _q_range_agg_nchars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``range`` agg (named [from, to) buckets, overlap-capable) over the
+    AND query's hits."""
+    from elasticsearch_aggregation_geoclustering_spark.plans import aggs
+
+    hits = _matched_docs(spark, sf_dir, TERMS_AND, len(set(TERMS_AND)))
+    return aggs.range_agg(hits, "n_chars", RANGES_NCHARS).orderBy("key")
+
+
+def _q_filters_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``filters`` agg: three named filter buckets counted in ONE pass."""
+    from elasticsearch_aggregation_geoclustering_spark.plans import aggs
+
+    docs = _docs(spark, sf_dir)
+    out = aggs.filters_agg(
+        docs,
+        {
+            "lang_en": F.col("lang") == FILTER_LANG,
+            "long_doc": F.col("n_chars") >= FILTER_NCHARS_MIN,
+            "src_early": F.col("source").isin(*FILTER_SOURCES),
+        },
+    )
+    return out.orderBy("key")
+
+
+def _q_weighted_avg_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``weighted_avg`` metric over the event stream."""
+    from elasticsearch_aggregation_geoclustering_spark.plans import aggs
+
+    ev = _events(spark, sf_dir)
+    w = (F.col("event_id") % WAVG_MOD + 1).cast("double")
+    return aggs.weighted_avg(ev, "value", w, name="weighted_avg", round_to=WAVG_ROUND)
+
+
+def _q_rare_terms_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``rare_terms`` agg: the long-tail users with ≤ RARE_MAX_DOC
+    first-day error events (count asc, term asc — the fixed rare order)."""
+    from elasticsearch_aggregation_geoclustering_spark.plans import aggs
+
+    ev = _events(spark, sf_dir).where(
+        (F.col("event_type") == RARE_TYPE)
+        & (F.col("ts") < F.lit(RARE_CUTOFF).cast("timestamp"))
+    )
+    frame = ev.select(
+        F.col("event_id").alias("doc_id"), F.col("user_id").alias("term")
+    )
+    return aggs.rare_terms(frame, max_doc_count=RARE_MAX_DOC, size=RARE_SIZE)
+
+
+def _q_composite_page2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``composite`` agg pagination: page 2 of (lang, n_chars-bucket)
+    buckets — page 1's last key collects as the after-cursor (size rows,
+    driver-bounded), then the strict-greater predicate prunes BEFORE the
+    sort, so deep pages don't grow the shuffle (the design reason composite
+    exists instead of terms+from)."""
+    from elasticsearch_aggregation_geoclustering_spark.plans import aggs
+
+    docs = _docs(spark, sf_dir)
+    sources = [
+        ("lang", F.col("lang")),
+        (
+            "bucket",
+            (F.floor(F.col("n_chars") / COMPOSITE_INTERVAL) * COMPOSITE_INTERVAL).cast(
+                "long"
+            ),
+        ),
+    ]
+    page1 = aggs.composite_page(docs, sources, size=COMPOSITE_SIZE).collect()
+    after = (page1[-1]["lang"], page1[-1]["bucket"]) if page1 else None
+    return aggs.composite_page(docs, sources, size=COMPOSITE_SIZE, after=after)
+
+
+def _q_geo_bounds_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``geo_bounds`` metric over the bbox-filtered event points."""
+    from elasticsearch_aggregation_geoclustering_spark.plans import aggs
+
+    pts = _event_points(spark, sf_dir).where(
+        (F.col("lon") >= BBOX["lon_min"])
+        & (F.col("lon") <= BBOX["lon_max"])
+        & (F.col("lat") >= BBOX["lat_min"])
+        & (F.col("lat") <= BBOX["lat_max"])
+    )
+    return aggs.geo_bounds(pts, round_to=6)
+
+
+def _q_geo_centroid_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``geo_centroid`` metric (the standalone sibling of the plugin's
+    per-cluster centroid) over the bbox-filtered event points."""
+    from elasticsearch_aggregation_geoclustering_spark.plans import aggs
+
+    pts = _event_points(spark, sf_dir).where(
+        (F.col("lon") >= BBOX["lon_min"])
+        & (F.col("lon") <= BBOX["lon_max"])
+        & (F.col("lat") >= BBOX["lat_min"])
+        & (F.col("lat") <= BBOX["lat_max"])
+    )
+    return aggs.geo_centroid(pts, round_to=6)
+
+
+def _q_dis_max_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``dis_max`` compound query over two heterogeneous sub-queries
+    (the OR match and the AND-terms-as-OR match), tie_breaker combine."""
+    from elasticsearch_aggregation_geoclustering_spark.plans.multimatch import dis_max
+
+    index = _index_for(spark, sf_dir)
+    a = index.score_matches(TERMS_OR)
+    b = index.score_matches(TERMS_AND)
+    top = dis_max([a, b], tie_breaker=DISMAX_TIE, k=TOPK)
+    ids = index.docmap().select("doc_id", "orig_id")
+    return top.join(ids, on="doc_id").select(
+        F.col("orig_id").alias("doc_id"), F.round("score", 5).alias("score")
+    )
+
+
+def _q_collapse_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES field collapsing: the global top-COLLAPSE_K hit page after keeping
+    only each lang's best hit — a flat deduped result page, not an agg."""
+    from elasticsearch_aggregation_geoclustering_spark.plans.query import (
+        collapse_top_hits,
+    )
+
+    index = _index_for(spark, sf_dir)
+    scored = index.score_matches(TERMS_OR)
+    ids = index.docmap().select("doc_id", "orig_id")
+    docs = _docs(spark, sf_dir).select(F.col("doc_id").alias("orig_id"), "lang")
+    hits = (
+        scored.join(ids, on="doc_id")
+        .join(docs, on="orig_id")
+        .select(F.col("orig_id").alias("doc_id"), "lang", "score")
+    )
+    page = collapse_top_hits(hits, "lang", COLLAPSE_K)
+    return page.select("doc_id", "lang", F.round("score", 5).alias("score"))
+
+
+def _q_suggest_term(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``term`` suggester: spelling corrections for SUGGEST_INPUT from
+    the index's own dictionary (distance asc, df desc, term asc)."""
+    index = _index_for(spark, sf_dir)
+    return index.suggest(
+        SUGGEST_INPUT, size=SUGGEST_SIZE, max_edits=SUGGEST_MAX_EDITS
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # geo clustering operator family (SURVEY.md §2.1)
@@ -1312,6 +1479,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "terms_agg_sharded": _q_terms_agg_sharded,
         "hits_sorted_by_len": _q_hits_sorted_by_len,
         "token_count_percentiles": _q_token_count_percentiles,
+        "range_agg_nchars": _q_range_agg_nchars,
+        "filters_agg": _q_filters_agg,
+        "weighted_avg_value": _q_weighted_avg_value,
+        "rare_terms_users": _q_rare_terms_users,
+        "composite_page2": _q_composite_page2,
+        "geo_bounds_bbox": _q_geo_bounds_bbox,
+        "geo_centroid_bbox": _q_geo_centroid_bbox,
+        "dis_max_topk": _q_dis_max_topk,
+        "collapse_by_lang": _q_collapse_by_lang,
+        "suggest_term": _q_suggest_term,
         # training-data pipeline: dedup
         "dedup_exact_groups": _q_dedup_exact_groups,
         "dedup_keep_one": _q_dedup_keep_one,
@@ -1660,6 +1837,30 @@ order by greatest({sa}, {sb})
          + {MM_TIE!r}::DOUBLE * (({sa} + {sb}) - greatest({sa}, {sb})) desc,
          coalesce(a.doc_id, b.doc_id) asc
 limit {TOPK}
+"""
+
+
+def _range_agg_sql() -> str:
+    """ES range-agg oracle generated from the SAME RANGES_NCHARS constant
+    the Spark wrapper passes (from-inclusive / to-exclusive, open edges)."""
+    parts = []
+    for key, lo, hi in RANGES_NCHARS:
+        conds = ["n_chars is not null"]
+        if lo is not None:
+            conds.append(f"n_chars >= {lo!r}")
+        if hi is not None:
+            conds.append(f"n_chars < {hi!r}")
+        parts.append(
+            f"select '{key}' as key, (select count(*) from hits where "
+            f"{' and '.join(conds)})::BIGINT as doc_count"
+        )
+    union = "\n  union all\n  ".join(parts)
+    return f"""
+with {osql.matched_ids_cte(TERMS_AND, len(set(TERMS_AND)))},
+hits as (select n_chars from documents join matched using (doc_id))
+select * from (
+  {union}
+) order by key
 """
 
 
@@ -2104,5 +2305,103 @@ select dims.doc_id, dims.dim::BIGINT as dim,
        round(case when dims.n > 0 then coalesce(counts.c, 0)::DOUBLE / dims.n
                   else 0.0 end, 6) as value
 from dims left join counts on counts.doc_id = dims.doc_id and counts.m = dims.dim
+""",
+        "range_agg_nchars": _range_agg_sql(),
+        "filters_agg": f"""
+select * from (
+  select 'lang_en' as key,
+         (select count(*) from documents where lang = '{FILTER_LANG}')::BIGINT as doc_count
+  union all
+  select 'long_doc',
+         (select count(*) from documents where n_chars >= {FILTER_NCHARS_MIN})::BIGINT
+  union all
+  select 'src_early',
+         (select count(*) from documents
+          where source in ({", ".join(f"'{s}'" for s in FILTER_SOURCES)}))::BIGINT
+) order by key
+""",
+        "weighted_avg_value": f"""
+select round(sum(value * w) / sum(w), {WAVG_ROUND}) as weighted_avg
+from (select value, (event_id % {WAVG_MOD} + 1)::DOUBLE as w
+      from events where value is not null)
+""",
+        "rare_terms_users": f"""
+select user_id as term, count(*)::BIGINT as doc_count
+from events
+where event_type = '{RARE_TYPE}' and ts < timestamp '{RARE_CUTOFF}'
+group by 1 having count(*) <= {RARE_MAX_DOC}
+order by doc_count asc, term asc limit {RARE_SIZE}
+""",
+        "composite_page2": f"""
+select lang, ((n_chars // {COMPOSITE_INTERVAL}) * {COMPOSITE_INTERVAL})::BIGINT as bucket,
+       count(*)::BIGINT as doc_count
+from documents
+group by 1, 2
+order by lang asc, bucket asc
+limit {COMPOSITE_SIZE} offset {COMPOSITE_SIZE}
+""",
+        "geo_bounds_bbox": f"""
+with pts as (
+  select {osql.EVENT_LON_SQL} as lon, {osql.EVENT_LAT_SQL} as lat from events
+),
+flt as (
+  select * from pts
+  where lon >= {BBOX['lon_min']} and lon <= {BBOX['lon_max']}
+    and lat >= {BBOX['lat_min']} and lat <= {BBOX['lat_max']}
+)
+select round(max(lat), 6) as top_left_lat, round(min(lon), 6) as top_left_lon,
+       round(min(lat), 6) as bottom_right_lat, round(max(lon), 6) as bottom_right_lon
+from flt
+""",
+        "geo_centroid_bbox": f"""
+with pts as (
+  select {osql.EVENT_LON_SQL} as lon, {osql.EVENT_LAT_SQL} as lat from events
+),
+flt as (
+  select * from pts
+  where lon >= {BBOX['lon_min']} and lon <= {BBOX['lon_max']}
+    and lat >= {BBOX['lat_min']} and lat <= {BBOX['lat_max']}
+)
+select round(avg(lat), 6) as centroid_lat, round(avg(lon), 6) as centroid_lon,
+       count(*)::BIGINT as count
+from flt
+""",
+        "dis_max_topk": f"""
+with {osql.bm25_scores_cte(terms=TERMS_OR, cte_prefix="a_")},
+{osql.bm25_scores_cte(terms=TERMS_AND, cte_prefix="b_")},
+joined as (
+  select doc_id, coalesce(a.score, 0.0) as sa, coalesce(b.score, 0.0) as sb
+  from a_scored a full outer join b_scored b using (doc_id)
+),
+combined as (
+  select doc_id,
+         greatest(sa, sb) + {DISMAX_TIE} * (sa + sb - greatest(sa, sb)) as score
+  from joined
+)
+select doc_id, round(score, 5) as score from combined
+order by combined.score desc, doc_id asc limit {TOPK}
+""",
+        "collapse_by_lang": f"""
+with {osql.bm25_scores_cte(terms=TERMS_OR)},
+hits as (
+  select d.lang, s.doc_id, s.score from scored s join documents d using (doc_id)
+),
+best as (
+  select lang, doc_id, score,
+         row_number() over (partition by lang order by score desc, doc_id asc) as rnk
+  from hits
+)
+select doc_id, lang, round(score, 5) as score from (
+  select lang, doc_id, score from best where rnk = 1
+  order by score desc, doc_id asc limit {COLLAPSE_K}
+)
+""",
+        "suggest_term": f"""
+with toks as (select doc_id, unnest({toks}) as term from documents),
+dict as (select term, count(distinct doc_id)::BIGINT as df from toks group by term)
+select term as candidate, levenshtein(term, '{SUGGEST_INPUT}')::INT as distance, df
+from dict
+where levenshtein(term, '{SUGGEST_INPUT}') between 1 and {SUGGEST_MAX_EDITS}
+order by distance asc, df desc, candidate asc limit {SUGGEST_SIZE}
 """,
     }

@@ -306,6 +306,30 @@ def main() -> None:
 
     timed("multi_match_best_fields", _mm)
 
+    # 8) third r5 wave: dis_max / collapse / composite paging / suggester
+    def _wave3():
+        from elasticsearch_aggregation_geoclustering_spark.plans.query import (
+            collapse_top_hits,
+        )
+
+        a = index.score_matches(["spark", "window", "merge"])
+        b = index.score_matches(["table", "value", "customer"])
+        multimatch.dis_max([a, b], tie_breaker=0.3, k=50).collect()
+        hits = (
+            index.score_matches(["spark", "window", "merge"])
+            .join(index.docmap(), on="doc_id")
+            .join(docs.select(F.col("doc_id").alias("orig_id"), "lang"), on="orig_id")
+        )
+        collapse_top_hits(hits, "lang", 5, id_col="orig_id").collect()
+        sources = [
+            ("lang", F.col("lang")),
+            ("bucket", (F.floor(F.col("n_chars") / 100) * 100).cast("long")),
+        ]
+        aggs.composite_page(docs, sources, size=5, after=("en", 100)).collect()
+        index.suggest("vale", size=5).collect()
+
+    timed("dismax_collapse_composite_suggest", _wave3)
+
     shutil.rmtree(index_dir, ignore_errors=True)
     extra["queries_warm"] = warm
     extra["suite_warm_sec"] = round(sum(warm.values()), 4)

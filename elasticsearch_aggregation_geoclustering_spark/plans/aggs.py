@@ -37,6 +37,13 @@ __all__ = [
     "top_hits",
     "cardinality_exact",
     "significant_terms_jlh",
+    "range_agg",
+    "filters_agg",
+    "weighted_avg",
+    "rare_terms",
+    "composite_page",
+    "geo_bounds",
+    "geo_centroid",
 ]
 
 
@@ -365,4 +372,214 @@ def significant_terms_jlh(
         )
         .orderBy(F.desc("score"), F.asc("term"))
         .limit(size)
+    )
+
+
+def range_agg(
+    hits: DataFrame,
+    col: str,
+    ranges: list[tuple[str, float | None, float | None]],
+    *,
+    key_name: str = "key",
+    count_name: str = "doc_count",
+) -> DataFrame:
+    """ES ``range`` aggregation: named buckets ``[from, to)`` (from
+    inclusive, to exclusive, either open — ES's documented edge semantics).
+
+    ES allows OVERLAPPING ranges (one doc may count in several buckets), so
+    this is NOT a single groupBy on a bucket key: each range is an
+    independent conditional count.  All ranges evaluate in ONE partial+final
+    aggregation pass (one conditional sum per range inside the same agg),
+    then the ≤ len(ranges) scalar results unpivot to rows — zero data-row
+    shuffle, O(ranges) rows out.  Mirrors the reference's reduce framework
+    (one ``InternalRange`` bucket per requested range, even when empty —
+    doc_count 0 rows ARE returned, like ES).
+    """
+    if not ranges:
+        raise ValueError("need at least one range")
+    aggs = []
+    for i, (key, lo, hi) in enumerate(ranges):
+        c = F.col(col)
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (c >= F.lit(float(lo)))
+        if hi is not None:
+            cond = cond & (c < F.lit(float(hi)))
+        aggs.append(
+            F.coalesce(F.sum(F.when(cond & c.isNotNull(), 1)), F.lit(0))
+            .cast("long")
+            .alias(f"_r{i}")
+        )
+    one = hits.agg(*aggs)
+    stack = ", ".join(f"'{k}', _r{i}" for i, (k, _, _) in enumerate(ranges))
+    return one.selectExpr(
+        f"stack({len(ranges)}, {stack}) as ({key_name}, {count_name})"
+    )
+
+
+def filters_agg(
+    hits: DataFrame,
+    filters: dict[str, Column],
+    *,
+    key_name: str = "key",
+    count_name: str = "doc_count",
+) -> DataFrame:
+    """ES ``filters`` aggregation: one named bucket per filter, a doc
+    counted in every bucket whose filter it matches.
+
+    Same one-pass conditional-count shape as :func:`range_agg` — each named
+    filter is a Column predicate evaluated in a single aggregation pass.
+    Empty buckets return doc_count 0 (ES keeps every named bucket).
+    """
+    if not filters:
+        raise ValueError("need at least one filter")
+    names = sorted(filters)
+    one = hits.agg(
+        *[
+            F.coalesce(F.sum(F.when(filters[n], 1)), F.lit(0))
+            .cast("long")
+            .alias(f"_f{i}")
+            for i, n in enumerate(names)
+        ]
+    )
+    stack = ", ".join(f"'{n}', _f{i}" for i, n in enumerate(names))
+    return one.selectExpr(
+        f"stack({len(names)}, {stack}) as ({key_name}, {count_name})"
+    )
+
+
+def weighted_avg(
+    hits: DataFrame,
+    value_col: str,
+    weight_col: str | Column,
+    *,
+    name: str = "value",
+    round_to: int | None = None,
+) -> DataFrame:
+    """ES ``weighted_avg`` metric: Σ(value·weight) / Σ(weight) over rows
+    where BOTH sides are non-null (ES skips docs missing either field).
+
+    One partial+final agg pass, one scalar row out.
+    """
+    v = F.col(value_col).cast("double")
+    w = (F.col(weight_col) if isinstance(weight_col, str) else weight_col).cast(
+        "double"
+    )
+    both = v.isNotNull() & w.isNotNull()
+    out = F.sum(F.when(both, v * w)) / F.sum(F.when(both, w))
+    if round_to is not None:
+        out = F.round(out, round_to)
+    return hits.agg(out.alias(name))
+
+
+def rare_terms(
+    hits_terms: DataFrame,
+    *,
+    max_doc_count: int = 1,
+    size: int = 10,
+    term_col: str = "term",
+    doc_col: str = "doc_id",
+) -> DataFrame:
+    """ES ``rare_terms`` aggregation: the long tail — terms whose document
+    frequency is ≤ ``max_doc_count``, ordered by doc_count ASCENDING (the
+    fixed rare_terms order), term asc tiebreak.
+
+    ES bounds memory with a CuckooFilter and documents the result as
+    approximate; a distributed engine doesn't need the sketch — one exact
+    distinct+count shuffle on term gives the true answer (the filter exists
+    because ES reduces on ONE coordinator node).  Input is a (doc, term)
+    frame; df = distinct docs per term, same semantics as the terms agg.
+    """
+    if max_doc_count < 1 or size < 1:
+        raise ValueError("max_doc_count and size must be >= 1")
+    return (
+        hits_terms.select(term_col, doc_col)
+        .distinct()
+        .groupBy(F.col(term_col).alias("term"))
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+        .where(F.col("doc_count") <= max_doc_count)
+        .orderBy(F.asc("doc_count"), F.asc("term"))
+        .limit(size)
+    )
+
+
+def composite_page(
+    hits: DataFrame,
+    sources: list[tuple[str, Column]],
+    *,
+    size: int = 10,
+    after: tuple | None = None,
+    count_name: str = "doc_count",
+) -> DataFrame:
+    """ES ``composite`` aggregation: paginate ALL buckets of a multi-source
+    key in deterministic (source1 asc, source2 asc, ...) order, ``size``
+    buckets per page, resuming strictly AFTER the ``after`` cursor tuple.
+
+    This is ES's scalable agg pagination (terms-agg ``size`` cannot page);
+    the after-cursor predicate is a lexicographic strict-greater filter that
+    prunes BEFORE the sort+limit, so deep pages cost the same shuffle as
+    page one — the same reason ES designed composite around after-keys
+    instead of from+size.  One groupBy shuffle on the composite key.
+    """
+    if not sources:
+        raise ValueError("need at least one source")
+    if after is not None and len(after) != len(sources):
+        raise ValueError("after cursor arity must match sources")
+    named = [(n, c.alias(n)) for n, c in sources]
+    grouped = hits.groupBy(*[c for _, c in named]).agg(
+        F.count(F.lit(1)).alias(count_name)
+    )
+    if after is not None:
+        # lexicographic (k1, k2, ...) > (a1, a2, ...)
+        pred = F.lit(False)
+        eq = F.lit(True)
+        for (n, _), a in zip(named, after):
+            pred = pred | (eq & (F.col(n) > F.lit(a)))
+            eq = eq & (F.col(n) == F.lit(a))
+        grouped = grouped.where(pred)
+    return grouped.orderBy(*[F.asc(n) for n, _ in named]).limit(size)
+
+
+def geo_bounds(
+    hits: DataFrame,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    *,
+    round_to: int | None = None,
+) -> DataFrame:
+    """ES ``geo_bounds`` metric: the tight bounding box of the points —
+    ``top_left (max lat, min lon)`` / ``bottom_right (min lat, max lon)``
+    (non-wrapping; ES ``wrap_longitude=false`` semantics).
+
+    One agg pass, one row out."""
+    la, lo = F.col(lat_col).cast("double"), F.col(lon_col).cast("double")
+    rnd = (lambda e: F.round(e, round_to)) if round_to is not None else (lambda e: e)
+    return hits.agg(
+        rnd(F.max(la)).alias("top_left_lat"),
+        rnd(F.min(lo)).alias("top_left_lon"),
+        rnd(F.min(la)).alias("bottom_right_lat"),
+        rnd(F.max(lo)).alias("bottom_right_lon"),
+    )
+
+
+def geo_centroid(
+    hits: DataFrame,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    *,
+    round_to: int | None = None,
+) -> DataFrame:
+    """ES ``geo_centroid`` metric: arithmetic mean lat/lon + count.
+
+    The reference plugin tracks exactly this per cluster cell
+    (``GeoPointClusteringAggregator.java:125-143`` running mean /
+    ``BucketReducer.java:41-46`` weighted combine); this is the standalone
+    whole-hit-set version ES also ships.  avg() is the same partial-sum /
+    final-divide shape as the plugin's reduce.  One agg pass."""
+    la, lo = F.col(lat_col).cast("double"), F.col(lon_col).cast("double")
+    rnd = (lambda e: F.round(e, round_to)) if round_to is not None else (lambda e: e)
+    return hits.agg(
+        rnd(F.avg(la)).alias("centroid_lat"),
+        rnd(F.avg(lo)).alias("centroid_lon"),
+        F.count(F.when(la.isNotNull() & lo.isNotNull(), 1)).alias("count"),
     )

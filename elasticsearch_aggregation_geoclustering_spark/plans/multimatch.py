@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 from ..functions import bm25
 from ..functions.tokenizer import tokenize_column
 
-__all__ = ["score_field", "multi_match_best_fields"]
+__all__ = ["score_field", "multi_match_best_fields", "dis_max"]
 
 
 def score_field(
@@ -113,6 +113,54 @@ def multi_match_best_fields(
         )
         combined = sf if combined is None else combined.join(sf, on="doc_id", how="full")
     cols = [F.coalesce(F.col(f"_s{i}"), F.lit(0.0)) for i in range(len(fields))]
+    best = F.greatest(*cols) if len(cols) > 1 else cols[0]
+    total = cols[0]
+    for c in cols[1:]:
+        total = total + c
+    score = best + F.lit(tie_breaker) * (total - best)
+    return (
+        combined.select("doc_id", score.alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def dis_max(
+    scored_frames: list[DataFrame],
+    *,
+    tie_breaker: float = 0.0,
+    k: int = 10,
+) -> DataFrame:
+    """ES ``dis_max`` compound query over ARBITRARY sub-queries (Lucene
+    DisjunctionMaxQuery): each input frame is one sub-query's full scored
+    hit set ``(doc_id, score)`` — a match, a phrase, a fuzzy expansion,
+    anything — and a doc's final score is
+
+        max(sub-scores) + tie_breaker * sum(the other sub-scores)
+
+    over the sub-queries that matched it (ES semantics: a doc matches if ANY
+    sub-query matches; missing sub-scores contribute nothing — NOT zero-
+    imputed into the max, which matters only for negative scores that BM25
+    never produces, so coalesce(0) is exact here).
+
+    This differs from ``multi_match_best_fields`` (same combine, but that
+    one derives its sub-queries as the SAME terms over different fields);
+    ``dis_max`` is the general compound ES exposes directly.
+
+    Scale: n−1 full-outer joins on doc_id — after each sub-query's agg the
+    frames are already hash-partitioned on doc_id, so AQE plans the joins
+    shuffle-free; the combine is one codegen'd projection; exact global
+    top-k via TakeOrderedAndProject.
+    """
+    if not scored_frames:
+        raise ValueError("need at least one sub-query frame")
+    if not 0.0 <= tie_breaker <= 1.0:
+        raise ValueError(f"tie_breaker must be in [0, 1]: {tie_breaker}")
+    combined: DataFrame | None = None
+    for i, sf in enumerate(scored_frames):
+        sf = sf.select("doc_id", F.col("score").alias(f"_q{i}"))
+        combined = sf if combined is None else combined.join(sf, on="doc_id", how="full")
+    cols = [F.coalesce(F.col(f"_q{i}"), F.lit(0.0)) for i in range(len(scored_frames))]
     best = F.greatest(*cols) if len(cols) > 1 else cols[0]
     total = cols[0]
     for c in cols[1:]:

@@ -33,7 +33,7 @@ from dataclasses import dataclass
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import bm25, codec
@@ -1178,6 +1178,71 @@ class InvertedIndex:
             F.col("term").like(_wildcard_to_like(pattern))
         )
 
+    def suggest(
+        self,
+        term: str,
+        *,
+        size: int = 5,
+        max_edits: int = 2,
+        suggest_mode: str = "always",
+    ) -> DataFrame:
+        """ES ``term`` suggester: spelling corrections for ``term`` from the
+        index's own dictionary — candidates within Levenshtein distance
+        ``max_edits`` (ES caps at 2, same cap here), ranked the ES way:
+        closer edits first, then HIGHER document frequency, then term asc.
+        Returns a DataFrame ``(candidate, distance, df)``, ≤ ``size`` rows.
+
+        ``suggest_mode='missing'`` (the ES default) returns an EMPTY frame
+        when the input term itself exists in the dictionary ("only suggest
+        for terms not in the index"); ``'always'`` suggests regardless.  The
+        input term is never its own suggestion (distance 0 is excluded),
+        matching ES.
+
+        Scale: the candidate filter is a JVM ``levenshtein`` predicate with
+        a length-window prefilter (|len(cand)−len(q)| ≤ max_edits — a hard
+        Levenshtein lower bound) that prunes the dictionary scan; for
+        10⁸-term dictionaries the same q-gram secondary index used by
+        :meth:`expand_fuzzy` applies — this method is the RANKED-frame
+        sibling of that rewrite (it keeps distance and df instead of
+        collapsing to a term list).  Output is ≤ size rows; nothing
+        collects.
+
+        Reference context: the ES host engine the plugin runs in ships this
+        as the ``suggest`` section of the same search request the
+        aggregation rides on.
+        """
+        if not term:
+            raise ValueError("term must be non-empty")
+        if not 1 <= max_edits <= 2:
+            raise ValueError(f"max_edits must be 1 or 2 (ES cap): {max_edits}")
+        if size < 1:
+            raise ValueError(f"size must be >= 1: {size}")
+        if suggest_mode not in ("missing", "always"):
+            raise ValueError(f"suggest_mode must be missing|always: {suggest_mode}")
+        stats = self.term_stats().select("term", "df")
+        if suggest_mode == "missing":
+            if stats.where(F.col("term") == F.lit(term)).limit(1).count() > 0:
+                return stats.select(
+                    F.col("term").alias("candidate"),
+                    F.lit(0).cast("int").alias("distance"),
+                    F.col("df"),
+                ).limit(0)
+        length_window = (
+            F.length(F.col("term")) >= F.lit(len(term) - max_edits)
+        ) & (F.length(F.col("term")) <= F.lit(len(term) + max_edits))
+        dist = F.levenshtein(F.col("term"), F.lit(term))
+        return (
+            stats.where(length_window)
+            .select(
+                F.col("term").alias("candidate"),
+                dist.cast("int").alias("distance"),
+                F.col("df"),
+            )
+            .where((F.col("distance") <= max_edits) & (F.col("distance") > 0))
+            .orderBy(F.asc("distance"), F.desc("df"), F.asc("candidate"))
+            .limit(size)
+        )
+
     def regexp_match_count(self, pattern: str) -> int:
         """hits.total for an ES ``regexp`` query: the pattern is anchored to
         the WHOLE term (Lucene regexp semantics) and evaluated in the
@@ -1484,3 +1549,42 @@ def field_value_factor(
     if k is not None:
         out = out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
     return out
+
+
+def collapse_top_hits(
+    scored: DataFrame,
+    collapse_col: str,
+    k: int = 10,
+    *,
+    score_col: str = "score",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ES field collapsing (``collapse.field``): the global top-``k`` hits
+    AFTER keeping only each group's single best hit — one result per
+    distinct ``collapse_col`` value, ranked by score.
+
+    Distinct from a ``terms``+``top_hits`` agg: collapsing returns a flat
+    ranked HIT PAGE (search results deduped by field), not per-bucket rows —
+    a group outside the global top-k never appears, exactly like ES.
+
+    Ranking inside a group and globally both use (score desc, doc_id asc) —
+    doc_id is the tiebreaker ES's ``_shard_doc`` plays.
+
+    Scale: one window shuffle on the collapse key prunes to one row per
+    group (row_number, applied BEFORE the global top-k so the final
+    TakeOrderedAndProject sees |groups| rows, not |hits|), then the exact
+    distributed top-k.  Skew-safe: per-group work is a sort of that group's
+    hits, the same bound as ES's per-shard collapse.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+    w = Window.partitionBy(collapse_col).orderBy(
+        F.desc(score_col), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("_grk", F.row_number().over(w))
+        .where(F.col("_grk") == 1)
+        .drop("_grk")
+        .orderBy(F.desc(score_col), F.asc(id_col))
+        .limit(k)
+    )
