@@ -277,6 +277,15 @@ def main() -> None:
     }
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     stamp = datetime.now(timezone.utc).strftime("%Y-%m-%d %H:%M UTC")
+    # a round may pool several protocol sessions; that hand-written summary
+    # lives in BENCH/MULTISESSION.md and is preserved verbatim at the top of
+    # every regenerated BASELINE.md (this file only appends the LATEST
+    # session's detail below it)
+    multisession = ""
+    ms_path = os.path.join(REPO, "BENCH", "MULTISESSION.md")
+    if os.path.exists(ms_path):
+        with open(ms_path) as ms:
+            multisession = ms.read().rstrip() + "\n\n"
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as fh:
         pair_rows = "\n".join(
             f"| {i} | {p['efficiency']:.3f} | {p['probe_before']:.2f} / "
@@ -290,7 +299,7 @@ def main() -> None:
 
 ## Scaling efficiency (north_rule: ≥ 0.8 between N and 4N)
 
-**Headline: {eff_pack:.3f} raw — median per-pair efficiency over
+{multisession}**Latest-session headline: {eff_pack:.3f} raw — median per-pair efficiency over
 {len(quiet_pairs)} quiet trial pairs in the cluster-shaped configuration
 (`pack_before_shuffle=True`, positions).**
 
