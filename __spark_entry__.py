@@ -1274,6 +1274,7 @@ COLLAPSE_K = 5
 SUGGEST_INPUT = "vale"  # 1 edit from 'value', 2 from 'table' — ranks by distance
 SUGGEST_SIZE = 5
 SUGGEST_MAX_EDITS = 2
+PCT_RANK_VALUES = [200.0, 300.0, 400.0]
 
 
 def _q_range_agg_nchars(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1410,6 +1411,15 @@ def _q_collapse_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     return page.select("doc_id", "lang", F.round("score", 5).alias("score"))
 
 
+def _q_percentile_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``percentile_ranks`` over the AND query's hits (count-ratio
+    definition, exact)."""
+    from elasticsearch_aggregation_geoclustering_spark.plans import aggs
+
+    hits = _matched_docs(spark, sf_dir, TERMS_AND, len(set(TERMS_AND)))
+    return aggs.percentile_ranks(hits, "n_chars", PCT_RANK_VALUES, round_to=AGG_ROUND).orderBy("value")
+
+
 def _q_suggest_term(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES ``term`` suggester: spelling corrections for SUGGEST_INPUT from
     the index's own dictionary (distance asc, df desc, term asc)."""
@@ -1489,6 +1499,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dis_max_topk": _q_dis_max_topk,
         "collapse_by_lang": _q_collapse_by_lang,
         "suggest_term": _q_suggest_term,
+        "percentile_ranks_nchars": _q_percentile_ranks,
         # training-data pipeline: dedup
         "dedup_exact_groups": _q_dedup_exact_groups,
         "dedup_keep_one": _q_dedup_keep_one,
@@ -1837,6 +1848,23 @@ order by greatest({sa}, {sb})
          + {MM_TIE!r}::DOUBLE * (({sa} + {sb}) - greatest({sa}, {sb})) desc,
          coalesce(a.doc_id, b.doc_id) asc
 limit {TOPK}
+"""
+
+
+def _pct_ranks_sql() -> str:
+    parts = [
+        f"select {v!r}::DOUBLE as value, round((select count(*) from hits where"
+        f" n_chars <= {v!r})::DOUBLE / (select count(*) from hits) * 100.0,"
+        f" {AGG_ROUND}) as percent"
+        for v in PCT_RANK_VALUES
+    ]
+    union = "\n  union all\n  ".join(parts)
+    return f"""
+with {osql.matched_ids_cte(TERMS_AND, len(set(TERMS_AND)))},
+hits as (select n_chars from documents join matched using (doc_id))
+select * from (
+  {union}
+) order by value
 """
 
 
@@ -2307,6 +2335,7 @@ select dims.doc_id, dims.dim::BIGINT as dim,
 from dims left join counts on counts.doc_id = dims.doc_id and counts.m = dims.dim
 """,
         "range_agg_nchars": _range_agg_sql(),
+        "percentile_ranks_nchars": _pct_ranks_sql(),
         "filters_agg": f"""
 select * from (
   select 'lang_en' as key,

@@ -44,6 +44,7 @@ __all__ = [
     "composite_page",
     "geo_bounds",
     "geo_centroid",
+    "percentile_ranks",
 ]
 
 
@@ -583,3 +584,45 @@ def geo_centroid(
         rnd(F.avg(lo)).alias("centroid_lon"),
         F.count(F.when(la.isNotNull() & lo.isNotNull(), 1)).alias("count"),
     )
+
+
+def percentile_ranks(
+    hits: DataFrame,
+    col: str,
+    values: list[float],
+    *,
+    round_to: int | None = None,
+) -> DataFrame:
+    """ES ``percentile_ranks``: for each requested value, the percentage of
+    observed data ≤ that value → rows ``(value, percent)``.
+
+    Exact linear-interpolation inverse of :func:`percentiles` (ES's own is
+    t-digest-approximate; exact is the correctness-gate choice and the
+    stronger answer when the hit set fits a shuffle).  Computed as one
+    aggregation pass: count ≤ v and the total (ES HDR/t-digest rank
+    definition; boundary interpolation differences between engines are
+    avoided by the plain count-ratio definition, stated here explicitly).
+
+    Scale: one partial+final agg with len(values) conditional counts —
+    the same zero-data-shuffle shape as :func:`range_agg`.
+    """
+    vals = [float(v) for v in values]
+    if not vals:
+        raise ValueError("need at least one value")
+    c = F.col(col).cast("double")
+    aggs_ = [F.count(c).alias("_n")] + [
+        F.coalesce(F.sum(F.when(c <= F.lit(v), 1)), F.lit(0))
+        .cast("long")
+        .alias(f"_le{i}")
+        for i, v in enumerate(vals)
+    ]
+    one = hits.agg(*aggs_)
+    pct = lambda i: F.col(f"_le{i}").cast("double") / F.col("_n") * 100.0  # noqa: E731
+    rnd = (lambda e: F.round(e, round_to)) if round_to is not None else (lambda e: e)
+    stacked = ", ".join(
+        f"{v!r}D, _p{i}" for i, v in enumerate(vals)
+    )
+    proj = one.select(
+        "*", *[rnd(pct(i)).alias(f"_p{i}") for i in range(len(vals))]
+    )
+    return proj.selectExpr(f"stack({len(vals)}, {stacked}) as (value, percent)")
