@@ -23,6 +23,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from scaling_bench import (  # noqa: E402
+    MEMBW_QUIET_CEILING,
     MEMBW_QUIET_THRESHOLD,
     QUIET_THRESHOLD,
     membw_probe,
@@ -41,7 +42,11 @@ def main() -> None:
         load1 = round(os.getloadavg()[0], 2)
         series.append({"t": round(time.time() - t0), "cpu": cpu, "membw": bw, "load1": load1})
         print(json.dumps(series[-1]), flush=True)
-        if cpu >= QUIET_THRESHOLD and bw >= MEMBW_QUIET_THRESHOLD:
+        # same band as the pair criterion: a bw reading far above 1.0 means
+        # the probe's own 2-proc baseline hit a burst — launching into such
+        # a window wastes the session budget (observed: launcher fired at
+        # bw=12.1 and the session yielded 1 quiet pair out of 6)
+        if cpu >= QUIET_THRESHOLD and MEMBW_QUIET_THRESHOLD <= bw <= MEMBW_QUIET_CEILING:
             print(json.dumps({"launching": True, "after_sec": series[-1]["t"]}), flush=True)
             rc = subprocess.call(
                 [sys.executable, os.path.join(os.path.dirname(os.path.abspath(__file__)), "scaling_bench.py")],
