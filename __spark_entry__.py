@@ -1275,6 +1275,7 @@ SUGGEST_INPUT = "vale"  # 1 edit from 'value', 2 from 'table' — ranks by dista
 SUGGEST_SIZE = 5
 SUGGEST_MAX_EDITS = 2
 PCT_RANK_VALUES = [200.0, 300.0, 400.0]
+ADJ_NCHARS_MIN = 250
 
 
 def _q_range_agg_nchars(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1411,6 +1412,23 @@ def _q_collapse_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     return page.select("doc_id", "lang", F.round("score", 5).alias("score"))
 
 
+def _q_adjacency_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``adjacency_matrix``: singles + pairwise intersections of three
+    named filters, one aggregation pass."""
+    from elasticsearch_aggregation_geoclustering_spark.plans import aggs
+
+    docs = _docs(spark, sf_dir)
+    out = aggs.adjacency_matrix(
+        docs,
+        {
+            "lang_en": F.col("lang") == FILTER_LANG,
+            "long_doc": F.col("n_chars") >= ADJ_NCHARS_MIN,
+            "src_early": F.col("source").isin(*FILTER_SOURCES),
+        },
+    )
+    return out.orderBy("key")
+
+
 def _q_percentile_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES ``percentile_ranks`` over the AND query's hits (count-ratio
     definition, exact)."""
@@ -1500,6 +1518,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collapse_by_lang": _q_collapse_by_lang,
         "suggest_term": _q_suggest_term,
         "percentile_ranks_nchars": _q_percentile_ranks,
+        "adjacency_matrix": _q_adjacency_matrix,
         # training-data pipeline: dedup
         "dedup_exact_groups": _q_dedup_exact_groups,
         "dedup_keep_one": _q_dedup_keep_one,
@@ -1848,6 +1867,34 @@ order by greatest({sa}, {sb})
          + {MM_TIE!r}::DOUBLE * (({sa} + {sb}) - greatest({sa}, {sb})) desc,
          coalesce(a.doc_id, b.doc_id) asc
 limit {TOPK}
+"""
+
+
+def _adj_matrix_sql() -> str:
+    conds = {
+        "lang_en": f"lang = '{FILTER_LANG}'",
+        "long_doc": f"n_chars >= {ADJ_NCHARS_MIN}",
+        "src_early": "source in (" + ", ".join(f"'{s}'" for s in FILTER_SOURCES) + ")",
+    }
+    names = sorted(conds)
+    cells = []
+    singles = []
+    for i, a in enumerate(names):
+        cells.append((a, conds[a], True))
+        singles.append(a)
+        for b in names[i + 1:]:
+            cells.append((f"{a}&{b}", f"({conds[a]}) and ({conds[b]})", False))
+    parts = [
+        f"select '{k}' as key, (select count(*) from documents where {c})::BIGINT as doc_count"
+        for k, c, _ in cells
+    ]
+    union = "\n  union all\n  ".join(parts)
+    single_list = ", ".join(f"'{s}'" for s in singles)
+    return f"""
+select * from (
+  {union}
+) where doc_count > 0 or key in ({single_list})
+order by key
 """
 
 
@@ -2336,6 +2383,7 @@ from dims left join counts on counts.doc_id = dims.doc_id and counts.m = dims.di
 """,
         "range_agg_nchars": _range_agg_sql(),
         "percentile_ranks_nchars": _pct_ranks_sql(),
+        "adjacency_matrix": _adj_matrix_sql(),
         "filters_agg": f"""
 select * from (
   select 'lang_en' as key,

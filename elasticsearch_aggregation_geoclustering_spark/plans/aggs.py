@@ -45,6 +45,7 @@ __all__ = [
     "geo_bounds",
     "geo_centroid",
     "percentile_ranks",
+    "adjacency_matrix",
 ]
 
 
@@ -626,3 +627,56 @@ def percentile_ranks(
         "*", *[rnd(pct(i)).alias(f"_p{i}") for i in range(len(vals))]
     )
     return proj.selectExpr(f"stack({len(vals)}, {stacked}) as (value, percent)")
+
+
+def adjacency_matrix(
+    hits: DataFrame,
+    filters: dict[str, Column],
+    *,
+    separator: str = "&",
+    key_name: str = "key",
+    count_name: str = "doc_count",
+) -> DataFrame:
+    """ES ``adjacency_matrix`` aggregation: one bucket per named filter plus
+    one per PAIR of filters counting docs matching both — n(n+1)/2 buckets
+    for n filters, intersection keys joined with ``separator`` in sorted
+    name order (``"a&b"``), exactly ES's key shape.
+
+    Like ES, empty intersection buckets are DROPPED (ES only returns
+    non-empty buckets here, unlike ``filters``); the singles are kept even
+    when zero so callers see every requested filter.
+
+    Scale: ALL n(n+1)/2 conditional counts evaluate in ONE partial+final
+    aggregation pass over a single scan (ES evaluates the same matrix per
+    shard collect); the unpivot is driver-free ``stack``.  ES caps n at 100
+    (``index.max_adjacency_matrix_filters``) — same cap here, same reason:
+    the bucket count is quadratic.
+    """
+    if not filters:
+        raise ValueError("need at least one filter")
+    if len(filters) > 100:
+        raise ValueError("adjacency_matrix is capped at 100 filters (ES cap)")
+    names = sorted(filters)
+    cells: list[tuple[str, Column, bool]] = []
+    for i, a in enumerate(names):
+        cells.append((a, filters[a], True))
+        for b in names[i + 1 :]:
+            cells.append((f"{a}{separator}{b}", filters[a] & filters[b], False))
+    one = hits.agg(
+        *[
+            F.coalesce(F.sum(F.when(cond, 1)), F.lit(0))
+            .cast("long")
+            .alias(f"_c{i}")
+            for i, (_, cond, _) in enumerate(cells)
+        ]
+    )
+    stack = ", ".join(
+        f"'{k}', _c{i}" for i, (k, _, _) in enumerate(cells)
+    )
+    out = one.selectExpr(
+        f"stack({len(cells)}, {stack}) as ({key_name}, {count_name})"
+    )
+    singles = {k for k, _, s in cells if s}
+    return out.where(
+        (F.col(count_name) > 0) | F.col(key_name).isin(*sorted(singles))
+    )
