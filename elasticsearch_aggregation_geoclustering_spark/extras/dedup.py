@@ -394,20 +394,35 @@ def _bucket_pairs(
     ids_sorted = F.array_sort(F.collect_list("doc_id"))
     groups = buckets.groupBy(*bucket_cols).agg(ids_sorted.alias("ids"))
     groups = groups.where(F.size("ids") >= 2)
-    pair_structs = F.filter(
-        F.flatten(
-            F.transform(
-                F.col("ids"),
-                lambda x: F.transform(
-                    F.col("ids"), lambda y: F.struct(x.alias("a"), y.alias("b"))
-                ),
-            )
-        ),
-        lambda p: p["a"] < p["b"],
-    )
+
+    # numpy in-bucket expansion: one triu_indices per bucket.  The earlier
+    # nested transform/filter/explode expression ran INTERPRETED (higher-
+    # order functions are outside whole-stage codegen) and built a struct
+    # per ORDERED pair (k² per bucket, half discarded) — measured ~3x
+    # slower at ~500k candidate pairs.  ids are sorted and unique within a
+    # bucket, so triu(k=1) emits exactly the a < b pairs.
+    def expand(batches: "pd.DataFrame"):
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            out_a, out_b = [], []
+            for ids in pdf["ids"]:
+                arr = _np.asarray(ids, dtype=_np.int64)
+                ia, ib = _np.triu_indices(arr.size, 1)
+                out_a.append(arr[ia])
+                out_b.append(arr[ib])
+            if out_a:
+                yield _pd.DataFrame(
+                    {
+                        "doc_a": _np.concatenate(out_a),
+                        "doc_b": _np.concatenate(out_b),
+                    }
+                )
+
     return (
-        groups.select(F.explode(pair_structs).alias("p"))
-        .select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
+        groups.select("ids")
+        .mapInPandas(expand, "doc_a long, doc_b long")
         .distinct()
     )
 

@@ -19,6 +19,14 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
 
 
+#: rp_band_near_pairs verifies candidate pairs by id-lookup against a
+#: broadcast (id, vector) matrix when the corpus vector bytes fit under
+#: this cap (the per-pair join otherwise ships both vectors per candidate
+#: through Arrow — 2·|pairs|·dim floats, typically orders of magnitude
+#: more).  Beyond the cap the join path runs — the 10⁹-vector shape.
+BROADCAST_VERIFY_MAX_BYTES = 256 << 20
+
+
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
@@ -269,17 +277,52 @@ def rp_band_near_pairs(
         candidate_plan = cand._jdf.queryExecution().executedPlan().toString()
         cand = cand.localCheckpoint(eager=True)
         sigrows.unpersist()
-    vecs = df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
-    pairs = (
-        cand.join(vecs.select(F.col("vid").alias("id_a"), F.col("vec").alias("vec_a")), on="id_a")
-        .join(vecs.select(F.col("vid").alias("id_b"), F.col("vec").alias("vec_b")), on="id_b")
-    )
-    # Arrow-batched verify: candidate counts are the large side of LSH, and
-    # one einsum per batch beats the interpreted per-dim HOF fold ~10x
-    cos = cosine_pairs_column(F.col("vec_a"), F.col("vec_b"))
-    out = pairs.select("id_a", "id_b", cos.alias("cosine")).where(
-        F.col("cosine") >= threshold
-    )
+    # verify: candidate pairs carry only IDS when the vector table fits an
+    # executor broadcast — the per-pair join shape ships BOTH vectors per
+    # candidate through Arrow (2 · |cand| · dim · 4 B; measured 240 MB for
+    # 473k pairs at dim 64, dominating the operator), while the id-lookup
+    # UDF gathers rows from one broadcast matrix (|corpus| · dim · 8 B
+    # once).  Same einsum over the same float64 rows → identical doubles.
+    # Oversized corpora keep the join: broadcast side scales with the
+    # corpus, candidates with the (bucket-capped) pair count.
+    n_vec = df.count()
+    first_dim = len(first[0])
+    if n_vec * first_dim * 8 <= BROADCAST_VERIFY_MAX_BYTES:
+        id_vec = df.select(F.col(id_col).cast("long"), vec_col).collect()
+        order = np.argsort(np.array([r[0] for r in id_vec], dtype=np.int64))
+        ids_sorted = np.array([id_vec[i][0] for i in order], dtype=np.int64)
+        mat = np.array([id_vec[i][1] for i in order], dtype=np.float64)
+        norms = np.sqrt(np.einsum("ij,ij->i", mat, mat))
+        bc = df.sparkSession.sparkContext.broadcast((ids_sorted, mat, norms))
+        from pyspark.sql.types import DoubleType
+
+        @F.pandas_udf(DoubleType())
+        def _cos_lookup(a: pd.Series, b: pd.Series) -> pd.Series:
+            idv, m, nn = bc.value
+            if len(a) == 0:
+                return pd.Series(np.empty(0, dtype=np.float64))
+            ia = np.searchsorted(idv, a.to_numpy(np.int64))
+            ib = np.searchsorted(idv, b.to_numpy(np.int64))
+            va, vb = m[ia], m[ib]
+            dots = np.einsum("ij,ij->i", va, vb)
+            # same expression shape as cosine_pairs_column: dots / (na * nb)
+            return pd.Series(dots / (nn[ia] * nn[ib]))
+
+        out = cand.select(
+            "id_a", "id_b", _cos_lookup(F.col("id_a"), F.col("id_b")).alias("cosine")
+        ).where(F.col("cosine") >= threshold)
+    else:
+        vecs = df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
+        pairs = (
+            cand.join(vecs.select(F.col("vid").alias("id_a"), F.col("vec").alias("vec_a")), on="id_a")
+            .join(vecs.select(F.col("vid").alias("id_b"), F.col("vec").alias("vec_b")), on="id_b")
+        )
+        # Arrow-batched verify: one einsum per batch beats the interpreted
+        # per-dim HOF fold ~10x
+        cos = cosine_pairs_column(F.col("vec_a"), F.col("vec_b"))
+        out = pairs.select("id_a", "id_b", cos.alias("cosine")).where(
+            F.col("cosine") >= threshold
+        )
     if candidate_plan is not None:
         out._eagc_candidate_plan = candidate_plan
     return out
@@ -367,7 +410,13 @@ def build_signature_index(
                 else F.lit(0).cast("long")
             ).alias("sig"),
         )
-        sigs.sort("sig", "vec_id").write.mode("overwrite").parquet(
+        # sortWithinPartitions, not a global sort: each output file is
+        # sig-sorted (row-group min/max stay tight) and the hamming probe's
+        # bit_count(xor) predicate is not range-prunable anyway, so global
+        # file disjointness buys nothing — while a global sort's range
+        # exchange adds a boundary-SAMPLING job that re-runs the signature
+        # UDF over the whole corpus (3 evaluations per build instead of 1)
+        sigs.sortWithinPartitions("sig", "vec_id").write.mode("overwrite").parquet(
             os.path.join(out_dir, "signatures")
         )
     elif bands is None:
@@ -381,7 +430,11 @@ def build_signature_index(
                 else F.array().cast("array<long>")
             ).alias("band", "bits"),
         )
-        brows.repartitionByRange(max(1, bands), "band", "bits").sortWithinPartitions(
+        # hash exchange on the band index (B distinct values — no sampling
+        # job re-running the band-key UDF, unlike repartitionByRange); files
+        # stay (band, bits)-sorted within, so the equality probes still
+        # prune by row-group min/max stats
+        brows.repartition(max(1, bands), "band").sortWithinPartitions(
             "band", "bits", "vec_id"
         ).write.mode("overwrite").parquet(os.path.join(out_dir, "bands"))
     meta = {"n_planes": n_planes, "seed": seed, "dim": dim, "bands": bands}
@@ -672,7 +725,12 @@ def build_ivf_index(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("vec"),
     )
-    rows.repartitionByRange(max(1, n_lists // 4), "list_id").sortWithinPartitions(
+    # hash exchange on list_id: repartitionByRange's boundary-sampling job
+    # re-ran the Arrow assignment UDF over the ENTIRE corpus a second time;
+    # hash placement needs no sampling, and the within-partition sort keeps
+    # files list_id-sorted so the probe's ``list_id IN`` still prunes at
+    # row-group level
+    rows.repartition(max(1, n_lists // 4), "list_id").sortWithinPartitions(
         "list_id", "vec_id"
     ).write.mode("overwrite").parquet(os.path.join(out_dir, "lists"))
     spark = df.sparkSession

@@ -149,6 +149,75 @@ def _bucket_offsets(counts: dict[int, int]) -> dict[int, int]:
     return offsets
 
 
+def _murmur3_hash_int(value: int, seed: int = 42) -> int:
+    """Murmur3 x86_32 of one 4-byte int — EXACTLY Spark's ``hash()`` /
+    ``HashPartitioning`` for an IntegerType column (seed 42), reimplemented
+    from the public algorithm so the driver can predict which partition a
+    literal int lands in.  Returns the signed 32-bit hash."""
+    m = 0xFFFFFFFF
+    k1 = (value * 0xCC9E2D51) & m
+    k1 = ((k1 << 15) | (k1 >> 17)) & m
+    k1 = (k1 * 0x1B873593) & m
+    h1 = (seed ^ k1) & m
+    h1 = ((h1 << 13) | (h1 >> 19)) & m
+    h1 = (h1 * 5 + 0xE6546B64) & m
+    h1 ^= 4  # fmix with length 4
+    h1 ^= h1 >> 16
+    h1 = (h1 * 0x85EBCA6B) & m
+    h1 ^= h1 >> 13
+    h1 = (h1 * 0xC2B2AE35) & m
+    h1 ^= h1 >> 16
+    return h1 - (1 << 32) if h1 >= (1 << 31) else h1
+
+
+def _slot_values(num_partitions: int) -> list[int]:
+    """For each partition p, a small int v with ``pmod(murmur3(v), P) == p``
+    — so hash-repartitioning on a column holding v routes rows EXACTLY to
+    partition p.  Found by scanning upward; expected O(P log P) probes."""
+    vals: list[int | None] = [None] * num_partitions
+    found = 0
+    v = 0
+    while found < num_partitions:
+        p = _murmur3_hash_int(v) % num_partitions
+        if vals[p] is None:
+            vals[p] = v
+            found += 1
+        v += 1
+    return vals  # type: ignore[return-value]
+
+
+def _partition_slot_expr(counts: dict[int, int], num_partitions: int) -> Column:
+    """Driver-planned replacement for ``repartitionByRange(P, "_b")``: map
+    each bucket to a crafted int whose Spark hash lands on the packed target
+    partition, preserving the builder's contract (each partition holds a
+    CONTIGUOUS, balanced run of whole buckets) with a plain hash exchange.
+
+    ``repartitionByRange`` launches a range-boundary SAMPLING job that
+    re-executes the exchange's whole child plan — for the index build that
+    is a second full pass over the corpus including sha256 (and tokenize in
+    pack mode).  The bucket counts are already EXACT (they drive the docID
+    offsets), so the driver can pack buckets into partitions itself and
+    skip the sampling pass entirely; placement balance is identical
+    (both pack the same exact counts toward total/P per partition).
+    """
+    total = sum(counts.values())
+    if not counts or total == 0:
+        return F.lit(0)
+    target = max(1, -(-total // num_partitions))  # ceil
+    slot_vals = _slot_values(num_partitions)
+    mapping: dict[int, int] = {}
+    slot = 0
+    acc = 0
+    for b in sorted(counts):
+        if acc >= target and slot < num_partitions - 1:
+            slot += 1
+            acc = 0
+        mapping[b] = slot_vals[slot]
+        acc += counts[b]
+    pairs = [x for b in sorted(mapping) for x in (F.lit(b), F.lit(mapping[b]))]
+    return F.element_at(F.create_map(*pairs), F.col("_b").cast("int"))
+
+
 #: fine proxy-bucket resolution: counts are exact per 2^16 contiguous key
 #: ranges, then packed into ~2x num_partitions balanced coarse buckets
 _FINE_BITS = 16
@@ -313,9 +382,14 @@ def assign_doc_ids(
     num_partitions = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     bexpr, counts, _ = _rank_plan(df, key_cols, num_partitions)
     offsets = _bucket_offsets(counts)
+    # hash exchange on a driver-planned slot (see _partition_slot_expr): same
+    # contiguous-bucket placement as repartitionByRange, WITHOUT its
+    # boundary-sampling job (a second full pass over the input)
     ranged = (
         df.withColumn("_b", bexpr)
-        .repartitionByRange(num_partitions, "_b")
+        .withColumn("_slot", _partition_slot_expr(counts, num_partitions))
+        .repartition(num_partitions, F.col("_slot"))
+        .drop("_slot")
         .sortWithinPartitions("_b", *[F.col(c) for c in key_cols])
     )
     out_cols = [c for c in df.columns]
@@ -719,9 +793,16 @@ def build_index(
             work = work.mapInPandas(
                 _pack_fn(content_col, [*dm_cols, "sha256"], with_positions), pack_schema
             )
+        # hash exchange on a driver-planned slot: identical placement to
+        # repartitionByRange (contiguous balanced buckets per partition)
+        # minus the range-boundary SAMPLING job, which re-ran this whole
+        # child — scan + sha256 (+ tokenize/pack in pack mode) — once more
+        # over every row (guide §2.4: remove shuffles/passes outright)
         ranged = (
             work.withColumn("_b", bexpr)
-            .repartitionByRange(num_partitions, "_b")
+            .withColumn("_slot", _partition_slot_expr(counts, num_partitions))
+            .repartition(num_partitions, F.col("_slot"))
+            .drop("_slot")
             .sortWithinPartitions("_b", *[F.col(c) for c in key_cols])
         )
         frag_schema = ", ".join(
@@ -1006,9 +1087,13 @@ def append_index(
         work = work.mapInPandas(
             _pack_fn(content_col, [*dm_cols, "sha256"], with_positions), pack_schema
         )
+    # driver-planned hash exchange instead of repartitionByRange — drops the
+    # boundary-sampling pass (see build_index)
     ranged = (
         work.withColumn("_b", bexpr)
-        .repartitionByRange(num_partitions, "_b")
+        .withColumn("_slot", _partition_slot_expr(counts, num_partitions))
+        .repartition(num_partitions, F.col("_slot"))
+        .drop("_slot")
         .sortWithinPartitions("_b", *[F.col(c) for c in key_cols])
     )
     frag_schema = ", ".join(

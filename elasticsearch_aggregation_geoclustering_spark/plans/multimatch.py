@@ -29,6 +29,69 @@ from ..functions.tokenizer import tokenize_column
 __all__ = ["score_field", "multi_match_best_fields", "dis_max"]
 
 
+def _per_doc_tf(
+    docs: DataFrame, terms: list[str], id_col: str, text_col: str
+) -> DataFrame:
+    """ONE tokenize pass: per-doc ``(doc_id, dl, _tf0.._tfN)`` for sorted
+    ``terms``.  Both the field statistics aggregate and the scoring
+    projection read this frame — persist it so the corpus is tokenized once
+    per field, not once per consumer."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode_outer(tokenize_column(F.col(text_col))).alias("term"),
+    )
+    # count("term") skips the explode_outer null: empty docs get dl=0 but
+    # still count toward N (BM25's N is ALL docs)
+    return toks.groupBy("doc_id").agg(
+        F.count("term").alias("dl"),
+        *[
+            F.count(F.when(F.col("term") == F.lit(t), True)).alias(f"_tf{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+
+
+def _field_stats(per_doc: DataFrame, n_terms: int):
+    """(n_docs, avgdl, idfs) from one scalar aggregation over ``per_doc``."""
+    stats = per_doc.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum("dl"), F.lit(0)).alias("total"),
+        *[
+            F.sum((F.col(f"_tf{i}") > 0).cast("long")).alias(f"_df{i}")
+            for i in range(n_terms)
+        ],
+    ).collect()[0]
+    n_docs = int(stats["n"])
+    if n_docs == 0:
+        return 0, 0.0, []
+    avgdl = float(stats["total"]) / n_docs
+    idfs = [
+        math.log(
+            1.0
+            + (n_docs - int(stats[f"_df{i}"]) + 0.5) / (int(stats[f"_df{i}"]) + 0.5)
+        )
+        for i in range(n_terms)
+    ]
+    return n_docs, avgdl, idfs
+
+
+def _field_score_frame(
+    per_doc: DataFrame, idfs: list[float], avgdl: float, params: bm25.Bm25Params
+) -> DataFrame:
+    """(doc_id, score) over every matching doc — the scoring projection."""
+    dl_d = F.col("dl").cast("double")
+    norm = F.lit(params.k1) * (
+        F.lit(1.0) - F.lit(params.b) + F.lit(params.b) * dl_d / F.lit(avgdl)
+    )
+    score = F.lit(0.0)
+    matched = F.lit(False)
+    for i in range(len(idfs)):  # sorted terms => deterministic fold order
+        tf_d = F.col(f"_tf{i}").cast("double")
+        score = score + F.lit(idfs[i]) * (tf_d / (tf_d + norm))
+        matched = matched | (F.col(f"_tf{i}") > 0)
+    return per_doc.where(matched).select("doc_id", score.alias("score"))
+
+
 def score_field(
     docs: DataFrame,
     terms: list[str],
@@ -43,51 +106,21 @@ def score_field(
     ``bm25_search_docs``, but lazy and unlimited — the building block
     ``multi_match_best_fields`` combines.  ``text_col`` may be any string
     expression name already present on ``docs``.
+
+    NOTE: the lazy return means the tokenize+aggregate lineage re-runs on
+    every downstream action (the stats pass here is one, the caller's is
+    another).  ``multi_match_best_fields`` avoids that by persisting the
+    per-doc tf frame; standalone callers with several actions should
+    persist this result themselves.
     """
     terms = sorted(set(terms))
     if not terms:
         return docs.sparkSession.createDataFrame([], "doc_id long, score double")
-    toks = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode_outer(tokenize_column(F.col(text_col))).alias("term"),
-    )
-    per_doc = toks.groupBy("doc_id").agg(
-        F.count("term").alias("dl"),
-        *[
-            F.count(F.when(F.col("term") == F.lit(t), True)).alias(f"_tf{i}")
-            for i, t in enumerate(terms)
-        ],
-    )
-    stats = per_doc.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.coalesce(F.sum("dl"), F.lit(0)).alias("total"),
-        *[
-            F.sum((F.col(f"_tf{i}") > 0).cast("long")).alias(f"_df{i}")
-            for i in range(len(terms))
-        ],
-    ).collect()[0]
-    n_docs = int(stats["n"])
+    per_doc = _per_doc_tf(docs, terms, id_col, text_col)
+    n_docs, avgdl, idfs = _field_stats(per_doc, len(terms))
     if n_docs == 0:
         return docs.sparkSession.createDataFrame([], "doc_id long, score double")
-    avgdl = float(stats["total"]) / n_docs
-    idfs = [
-        math.log(
-            1.0
-            + (n_docs - int(stats[f"_df{i}"]) + 0.5) / (int(stats[f"_df{i}"]) + 0.5)
-        )
-        for i in range(len(terms))
-    ]
-    dl_d = F.col("dl").cast("double")
-    norm = F.lit(params.k1) * (
-        F.lit(1.0) - F.lit(params.b) + F.lit(params.b) * dl_d / F.lit(avgdl)
-    )
-    score = F.lit(0.0)
-    matched = F.lit(False)
-    for i in range(len(terms)):  # sorted terms => deterministic fold order
-        tf_d = F.col(f"_tf{i}").cast("double")
-        score = score + F.lit(idfs[i]) * (tf_d / (tf_d + norm))
-        matched = matched | (F.col(f"_tf{i}") > 0)
-    return per_doc.where(matched).select("doc_id", score.alias("score"))
+    return _field_score_frame(per_doc, idfs, avgdl, params)
 
 
 def multi_match_best_fields(
@@ -101,27 +134,101 @@ def multi_match_best_fields(
     params: bm25.Bm25Params = bm25.Bm25Params(),
 ) -> DataFrame:
     """ES ``multi_match`` type ``best_fields``: top-k (doc_id, score) where
-    ``score = max over fields + tie_breaker * sum of the rest``."""
+    ``score = max over fields + tie_breaker * sum of the rest``.
+
+    Plan shape (round 6): every field's tf/dl is computed IN-ROW on one
+    shared projection — ``dl = size(tokens)``, ``tf(t) = size(tokens) −
+    size(array_remove(tokens, t))``, all native array builtins with the
+    tokenize subexpression CSE'd once per field — so the whole query is
+    TWO zero-shuffle corpus passes total (one scalar stats aggregate, one
+    scoring projection + TakeOrderedAndProject), independent of the field
+    count.  The earlier shape ran per field an explode → groupBy(doc)
+    shuffle TWICE (stats pass + scoring pass — the lazy frame re-ran its
+    lineage per action) and full-outer-joined the per-field frames: for F
+    fields, 2F corpus scans, 2F shuffles and F−1 joins versus 2 scans and
+    0 shuffles now.
+
+    Scores are bit-identical: a zero-tf term contributes ``idf · 0/(0 +
+    norm) = +0.0`` exactly (the old per-field sum included the same +0.0
+    terms), and a doc that missed a field entirely scored ``coalesce(NULL,
+    0.0)`` there — equal to the in-row field score ``Σ +0.0 = 0.0``.
+
+    Assumes ``id_col`` is unique per row (the doc-id contract everywhere in
+    this engine); duplicate ids would previously have been merged into one
+    pseudo-doc by the groupBy, and now score per row.
+    """
     if not 0.0 <= tie_breaker <= 1.0:
         raise ValueError(f"tie_breaker must be in [0, 1]: {tie_breaker}")
     if not fields:
         raise ValueError("need at least one field")
-    combined: DataFrame | None = None
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    spark = docs.sparkSession
+    terms = sorted(set(terms))
+    if not terms:
+        return spark.createDataFrame([], "doc_id long, score double")
+
+    nf, nt = len(fields), len(terms)
+    proj_cols = [F.col(id_col).alias("doc_id")]
     for i, f in enumerate(fields):
-        sf = score_field(docs, terms, id_col=id_col, text_col=f, params=params).select(
-            "doc_id", F.col("score").alias(f"_s{i}")
+        toks = tokenize_column(F.col(f))
+        # CSE evaluates `toks` once per row per field within this Project
+        proj_cols.append(F.coalesce(F.size(toks), F.lit(0)).alias(f"_dl{i}"))
+        for j, t in enumerate(terms):
+            tf = F.size(toks) - F.size(F.array_remove(toks, t))
+            proj_cols.append(F.coalesce(tf, F.lit(0)).alias(f"_tf{i}_{j}"))
+    proj = docs.select(*proj_cols)
+
+    stats = proj.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.coalesce(F.sum(f"_dl{i}"), F.lit(0)).alias(f"_total{i}") for i in range(nf)],
+        *[
+            F.sum((F.col(f"_tf{i}_{j}") > 0).cast("long")).alias(f"_df{i}_{j}")
+            for i in range(nf)
+            for j in range(nt)
+        ],
+    ).collect()[0]
+    n_docs = int(stats["n"])
+    if n_docs == 0:
+        return spark.createDataFrame([], "doc_id long, score double")
+
+    field_scores = []
+    matched = F.lit(False)
+    for i in range(nf):
+        avgdl = float(stats[f"_total{i}"]) / n_docs
+        dl_d = F.col(f"_dl{i}").cast("double")
+        norm = F.lit(params.k1) * (
+            F.lit(1.0) - F.lit(params.b) + F.lit(params.b) * dl_d / F.lit(avgdl)
         )
-        combined = sf if combined is None else combined.join(sf, on="doc_id", how="full")
-    cols = [F.coalesce(F.col(f"_s{i}"), F.lit(0.0)) for i in range(len(fields))]
-    best = F.greatest(*cols) if len(cols) > 1 else cols[0]
-    total = cols[0]
-    for c in cols[1:]:
+        score_i = F.lit(0.0)
+        for j in range(nt):  # sorted terms => deterministic fold order
+            df_j = int(stats[f"_df{i}_{j}"])
+            idf = math.log(1.0 + (n_docs - df_j + 0.5) / (df_j + 0.5))
+            tf_d = F.col(f"_tf{i}_{j}").cast("double")
+            score_i = score_i + F.lit(idf) * (tf_d / (tf_d + norm))
+            matched = matched | (F.col(f"_tf{i}_{j}") > 0)
+        field_scores.append(score_i)
+
+    best = F.greatest(*field_scores) if nf > 1 else field_scores[0]
+    total = field_scores[0]
+    for c in field_scores[1:]:
         total = total + c
     score = best + F.lit(tie_breaker) * (total - best)
-    return (
-        combined.select("doc_id", score.alias("score"))
+    result_schema = StructType(
+        [
+            StructField("doc_id", docs.schema[id_col].dataType),
+            StructField("score", DoubleType()),
+        ]
+    )
+    rows = (
+        proj.where(matched)
+        .select("doc_id", score.alias("score"))
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
+        .collect()
+    )
+    return spark.createDataFrame(
+        [(r["doc_id"], r["score"]) for r in rows], result_schema
     )
 
 

@@ -43,6 +43,16 @@ from ..sources.segments import load_stats
 DECODED_SCHEMA = "term string, doc_id long, tf long, dl long"
 
 
+#: query-term count up to which the per-doc score fold is compiled as a
+#: chain of per-term conditional sums (whole-stage-codegen HashAggregate)
+#: instead of sort(collect_list)+aggregate (ObjectHashAggregate + an
+#: interpreted higher-order fold per row).  Identical doubles: each
+#: (doc, term) posting is one row, so each conditional sum aggregates
+#: exactly one value, and folding `x + 0.0` for absent terms is an IEEE
+#: identity (scores are strictly positive, no -0.0), so the partial-sum
+#: chain equals the sorted-term fold bit for bit (pinned by tests).
+PIVOT_MAX_TERMS = 64
+
 MAX_EXPANSIONS = 50  # ES's default multi-term max_expansions: scored
 # prefix/fuzzy/wildcard queries rewrite to at most this many highest-df
 # dictionary terms (top_terms_N), bounding both the driver collect and the
@@ -148,6 +158,37 @@ def _decode_positions_fn(lucene_norms: bool):
             )
 
     return decode
+
+
+def _sorted_term_score_sum(terms_sorted: list[str]) -> Column:
+    """Aggregate expression: per-group score sum folded in ascending-term
+    order, bit-identical to ``aggregate(array_sort(collect_list(struct(term,
+    score))), 0.0, acc + score)`` for groups holding at most one row per
+    term (the posting-stream invariant).
+
+    For ≤ :data:`PIVOT_MAX_TERMS` terms it compiles to one conditional
+    ``sum`` per term chained with ``+`` — a codegen'd HashAggregate with no
+    array materialization and no interpreted lambda per row.  Exactness: a
+    group's rows cover a SUBSET of ``terms_sorted``; each conditional sum
+    therefore aggregates exactly one value (or none → ``coalesce`` 0.0),
+    and inserting ``+ 0.0`` between the present terms' partial sums leaves
+    every intermediate double unchanged (IEEE: x + 0.0 == x; BM25 scores
+    are strictly positive so no -0.0 case exists).  Beyond the cap the
+    original sort+fold runs (the create_map literals grow with terms too).
+    """
+    if len(terms_sorted) <= PIVOT_MAX_TERMS:
+        total: Column = F.lit(0.0)
+        for t in terms_sorted:
+            total = total + F.coalesce(
+                F.sum(F.when(F.col("term") == F.lit(t), F.col("score"))),
+                F.lit(0.0),
+            )
+        return total
+    return F.aggregate(
+        F.array_sort(F.collect_list(F.struct("term", "score"))),
+        F.lit(0.0),
+        lambda acc, x: acc + x["score"],
+    )
 
 
 #: dictionaries up to this many terms are collected to the driver once and
@@ -468,11 +509,7 @@ class InvertedIndex:
         # deterministic fold order (sorted by term) — matches the oracle even
         # for >2-term queries where fp addition is association-sensitive
         agg = scored.groupBy("doc_id").agg(
-            F.aggregate(
-                F.array_sort(F.collect_list(F.struct("term", "score"))),
-                F.lit(0.0),
-                lambda acc, x: acc + x["score"],
-            ).alias("score"),
+            _sorted_term_score_sum(sorted(idfs)).alias("score"),
             F.count(F.lit(1)).alias("_nterms"),
         )
         msm = minimum_should_match
@@ -586,11 +623,7 @@ class InvertedIndex:
             "query_id", "doc_id", "term", (idf_expr * (tf_d / denom)).alias("score")
         )
         agg = scored.groupBy("query_id", "doc_id").agg(
-            F.aggregate(
-                F.array_sort(F.collect_list(F.struct("term", "score"))),
-                F.lit(0.0),
-                lambda acc, x: acc + x["score"],
-            ).alias("score"),
+            _sorted_term_score_sum(live_terms).alias("score"),
             F.count(F.lit(1)).alias("_nterms"),
         )
         if mode.upper() == "AND":
