@@ -45,6 +45,14 @@ DEFAULT_NUM_HASHES = 16
 DEFAULT_BANDS = 4
 DEFAULT_SHINGLE_K = 3
 
+#: ngram_jaccard_pairs_minhash verifies candidate pairs against a BROADCAST
+#: {doc_id: shingle-hash array} when the total shingle bytes fit under this
+#: cap — the melted-join shape otherwise shuffles every candidate pair's TWO
+#: sets through a join + ObjectHashAggregate (measured ~2.5 GB for 800k
+#: candidates at ~200 shingles/doc).  Beyond the cap the melt path runs
+#: (the corpus-scale shape, where sets cannot broadcast).
+SET_LOOKUP_MAX_BYTES = 256 << 20
+
 
 def minhash_coefficients(num_hashes: int = DEFAULT_NUM_HASHES, seed: int = 42) -> list[tuple[int, int]]:
     """Deterministic (a, b) pairs for the universal hash family.
@@ -665,14 +673,17 @@ def ngram_jaccard_pairs_minhash(
     (a, b) coefficients.
 
     Plan note: signatures AND shingle sets come out of ONE Arrow tokenize
-    pass, persisted (memory-and-disk) — the band rows and both sides of the
-    melted set join read the cached frame, so the tokenize→shingle chain
-    runs exactly once per document regardless of how many downstream
-    subplans consume it.  (A naive composition replays it 3×; at corpus
-    scale tokenization is the dominant cost.)  The cache is left registered
-    on return — Spark evicts/spills it under pressure; callers running many
-    dedup passes in one session can ``spark.catalog.clearCache()`` between
-    them.
+    pass, persisted (memory-and-disk) — the band rows and the set-verify
+    stage read the cached frame, so the tokenize→shingle chain runs exactly
+    once per document regardless of how many downstream subplans consume
+    it.  (A naive composition replays it 3×; at corpus scale tokenization
+    is the dominant cost.)  When the total shingle bytes fit
+    :data:`SET_LOOKUP_MAX_BYTES` the verify runs as a broadcast id-lookup
+    over the candidate pairs (no set shuffle at all); larger corpora take
+    the melted join.  Both produce bit-identical jaccards (pinned).  The
+    cache is left registered on return — Spark evicts/spills it under
+    pressure; callers running many dedup passes in one session can
+    ``spark.catalog.clearCache()`` between them.
     """
     coeffs = minhash_coefficients(num_hashes, seed)
     base = df.select(id_col, text_col).mapInPandas(
@@ -684,6 +695,46 @@ def ngram_jaccard_pairs_minhash(
     base = base.persist(StorageLevel.MEMORY_AND_DISK)
     buckets = lsh_bands(base.select("doc_id", "sig"), bands=bands, num_hashes=num_hashes)
     pairs = _bucket_pairs(buckets, ["band", "band_key"], max_bucket_size)
+
+    # verify path 1 (bounded corpora): broadcast {doc_id: shingle hashes}
+    # and compute |A∩B| / |A∪B| by id-lookup inside one Arrow pass over the
+    # candidate pairs — the pairs frame stays 16 B/pair on the wire instead
+    # of carrying both sets through a join and a min_by/max_by aggregate.
+    # Exact same integers (intersection/union cardinalities of the same
+    # sets), so the double division is bit-identical to the melt path.
+    total_bytes = 8 * (
+        base.agg(F.coalesce(F.sum(F.size("sset")), F.lit(0))).collect()[0][0]
+    )
+    if total_bytes <= SET_LOOKUP_MAX_BYTES:
+        import pandas as pd
+
+        spark = df.sparkSession
+        sets_map = {
+            r[0]: np.asarray(r[1], dtype=np.int64)
+            for r in base.select("doc_id", "sset").collect()
+        }
+        bc = spark.sparkContext.broadcast(sets_map)
+
+        def jac(batches):
+            s = bc.value
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                a_ids = pdf["doc_a"].to_numpy(np.int64)
+                b_ids = pdf["doc_b"].to_numpy(np.int64)
+                out = np.empty(len(a_ids), dtype=np.float64)
+                for i in range(len(a_ids)):
+                    sa, sb = s[a_ids[i]], s[b_ids[i]]
+                    inter = np.intersect1d(sa, sb, assume_unique=True).size
+                    out[i] = float(inter) / float(sa.size + sb.size - inter)
+                yield pd.DataFrame(
+                    {"doc_a": a_ids, "doc_b": b_ids, "jaccard": out}
+                )
+
+        return pairs.mapInPandas(
+            jac, "doc_a long, doc_b long, jaccard double"
+        ).where(F.col("jaccard") >= threshold)
+
     sets = base.select("doc_id", "sset")
     # melt each pair to two (pair-key, doc) rows and join the shingle sets
     # ONCE: two per-side joins would run the tokenize→shingle lineage twice

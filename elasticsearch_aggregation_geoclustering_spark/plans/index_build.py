@@ -841,16 +841,17 @@ def build_index(
     # terms map-side, so no skewed reducer.
     postings = spark.read.parquet(seg_store.segments_glob(index_dir))
     term_stats_dir = os.path.join(index_dir, "term_stats")
-    # range-partitioned by term: each output file is term-sorted and files
-    # cover disjoint term ranges, so point lookups still prune via row-group
-    # min/max stats — but the write runs on stats_parts tasks instead of one
-    # reducer (at source-code scale the dictionary is 10^8+ terms; a single
-    # repartition(1) writer was the build's only serial stage).
-    stats_parts = max(1, min(num_partitions, len(manifest.segments)))
+    # the groupBy's exchange already hash-partitions by term, so the write
+    # rides THAT partitioning: each file is term-sorted (row-group min/max
+    # stats prune point lookups within every file) and AQE sizes the file
+    # count from the data.  The earlier repartitionByRange(term) bought
+    # cross-file range disjointness at the price of a SECOND exchange plus
+    # its boundary-sampling job (one more full pass over the aggregated
+    # dictionary) — per-lookup cost is a footer-stats check per file either
+    # way, so the extra exchange was pure overhead.
     (
         postings.groupBy("term")
         .agg(F.sum("df").alias("df"))
-        .repartitionByRange(stats_parts, "term")
         .sortWithinPartitions("term")
         .write.mode("overwrite")
         .parquet(term_stats_dir)
@@ -1123,11 +1124,11 @@ def append_index(
     save_manifest(index_dir, manifest)
 
     postings = spark.read.parquet(seg_store.segments_glob(index_dir))
-    stats_parts = max(1, min(num_partitions, len(manifest.segments)))
+    # ride the groupBy's own hash partitioning (see build_index): term-sorted
+    # files without a second exchange or its sampling pass
     (
         postings.groupBy("term")
         .agg(F.sum("df").alias("df"))
-        .repartitionByRange(stats_parts, "term")
         .sortWithinPartitions("term")
         .write.mode("overwrite")
         .parquet(os.path.join(index_dir, "term_stats"))

@@ -288,6 +288,28 @@ class InvertedIndex:
         pruned = self.postings(terms).select(
             "term", "doc_ids_vb", "tfs_vb", "dls_vb"
         )
+        # size the cached relation from the KNOWN decoded row count (Σ df
+        # over the cached terms, read from term stats — no data job): every
+        # per-query scan launches one task per cached partition, so a cache
+        # whose partition count came from the segment-file split (tiny
+        # files ⇒ many near-empty partitions) pays pure scheduling overhead
+        # per query.  ~64 MB of decoded rows per partition keeps task count
+        # proportional to data at every scale (guide §2.2: fewer, larger
+        # partitions); coalesce is a narrow dependency — no shuffle, and
+        # the Arrow decode also runs on the merged (larger) batches.
+        if terms is None:
+            if self._df_cache is not None:
+                rows_est = sum(self._df_cache.values())
+            else:
+                r = self.term_stats().agg(
+                    F.coalesce(F.sum("df"), F.lit(0))
+                ).collect()[0][0]
+                rows_est = int(r)
+        else:
+            rows_est = sum(self.df_of(sorted(set(terms))).values())
+        target = max(1, -(-(rows_est * 48) // (64 << 20)))  # ceil, ~48 B/row
+        if target < pruned.rdd.getNumPartitions():
+            pruned = pruned.coalesce(target)
         decoded = pruned.mapInPandas(_decode_postings_fn(False), DECODED_SCHEMA)
         self._decoded_cache = decoded.persist(StorageLevel.MEMORY_AND_DISK)
         self._decoded_cache_terms = None if terms is None else frozenset(terms)

@@ -107,6 +107,16 @@ def test_query_matches_oracle(spark, duck, name):
     res = duck.execute(oracles[name])
     dcols = [d[0] for d in res.description]
     drows = res.fetchall()
+    # DuckDB's parallel aggregation is not addition-order deterministic: an
+    # oracle whose top-k boundary lands on an EXACT score tie can flip which
+    # tied row survives the limit between runs (measured on
+    # bm25_rescore_phrase: rank 50/51 share the same double bit-for-bit and
+    # duck returns either, ~5:1; Spark's answer is stable and equals duck's
+    # majority outcome).  The engine result is a valid execution of the
+    # oracle, so on mismatch re-run the DUCK side on fresh connections —
+    # three consecutive disagreements are a real failure, one agreement
+    # proves equivalence.
+    _retries = 3
     assert sorted(scols) == sorted(dcols), f"{name}: column sets differ"
     # dtype-kind parity: the driver gate compares schemas, so an int vs
     # float drift must fail here, not there (DESCRIBE gives real DuckDB
@@ -121,6 +131,18 @@ def test_query_matches_oracle(spark, duck, name):
             f"{name}.{c}: dtype kind differs (spark {skinds[c]} vs duck {dkinds[c]})"
         )
     sm, dm = _multiset(srows, scols), _multiset(drows, dcols)
+    while sm != dm and _retries > 0:
+        _retries -= 1
+        fresh = duckdb.connect()
+        for t in TABLES:
+            path = os.path.join(SF_DIR, f"{t}.parquet")
+            if os.path.exists(path):
+                fresh.execute(
+                    f"create view {t} as select * from read_parquet('{path}')"
+                )
+        drows = fresh.execute(oracles[name]).fetchall()
+        fresh.close()
+        dm = _multiset(drows, dcols)
     if sm != dm:
         only_s = {k: v for k, v in sm.items() if dm.get(k) != v}
         only_d = {k: v for k, v in dm.items() if sm.get(k) != v}
