@@ -1448,65 +1448,20 @@ def _q_suggest_term(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Declared queries, ORDERED for the driver's correctness window.
+
+    The driver's oracle gate has historically checked the FIRST 50 dict
+    entries; round 5 shipped its new operators behind position 49 and they
+    were never certified (VERDICT r5 "What's wrong" #1).  Round-6 rotation:
+    the 17 never-driver-checked round-5 entries come first, then the 21
+    dedup/ANN/text/multimodal rows whose last green row was round 4, then a
+    12-row §2 representative core (geo exact/parity, BM25, phrase,
+    term-family, index invariants) — 50 positions of maximum-information
+    coverage; everything previously certified twice sits after.  Every key
+    and callable is unchanged — ordering only.
+    """
     return {
-        # geo clustering operator family (SURVEY.md §2.1)
-        "geo_cell_agg_z9": _q_geo_cell_agg_z9,
-        "geo_cell_agg_z5_bbox": _q_geo_cell_agg_z5_bbox,
-        "geo_shard_parity_z9": _q_geo_shard_parity,
-        "geo_quantized_shard_z9": _q_geo_quantized_shard,
-        "geo_multipoint_z5": _q_geo_multipoint,
-        "geo_cell_metrics_z5": _q_geo_cell_metrics,
-        "geo_hits_total_bbox": _q_geo_hits_total_bbox,
-        "geo_hits_distance": _q_geo_hits_distance,
-        "geo_clustering_paris_z9": _q_geo_clustering_paris,
-        "geo_es_exact_z9": _q_geo_es_exact_z9,
-        # inverted index + BM25 query engine (SURVEY.md §2.2, north_rule)
-        "bm25_topk_or": _q_bm25_topk_or,
-        "bm25_topk_and": _q_bm25_topk_and,
-        "bm25_direct_topk": _q_bm25_direct,
-        "bm25_batch_topk": _q_bm25_batch,
-        "match_count_or": _q_match_count_or,
-        "match_count_msm2": _q_match_count_msm2,
-        "bm25_explain_top1": _q_bm25_explain_top1,
-        "bm25_topk_msm2": _q_bm25_topk_msm2,
-        "match_count_and": _q_match_count_and,
-        "phrase_match_count": _q_phrase_match_count,
-        "phrase_topk": _q_phrase_topk,
-        "phrase_prefix_count": _q_phrase_prefix_count,
-        "phrase_prefix_topk": _q_phrase_prefix_topk,
-        "phrase_slop_count": _q_phrase_slop_count,
-        "phrase_slop_topk": _q_phrase_slop_topk,
-        "term_df": _q_term_df,
-        "terms_agg_matched": _q_terms_agg_matched,
-        "fuzzy_match_count": _q_fuzzy_match_count,
-        "prefix_match_count": _q_prefix_match_count,
-        "prefix_topk": _q_prefix_topk,
-        "fuzzy_topk": _q_fuzzy_topk,
-        "wildcard_match_count": _q_wildcard_match_count,
-        "regexp_match_count": _q_regexp_match_count,
-        "index_stats": _q_index_stats,
-        "docmap_sha256": _q_docmap_sha256,
-        # ES search aggregations over hits + pagination/filter context
-        "hits_stats_nchars": _q_hits_stats_nchars,
-        "hits_histogram_nchars": _q_hits_histogram_nchars,
-        "hits_percentiles_nchars": _q_hits_percentiles_nchars,
-        "top_hits_by_lang": _q_top_hits_by_lang,
-        "events_date_histogram": _q_events_date_histogram,
-        "cardinality_user_hll": _q_cardinality_user_hll,
-        "significant_terms_jlh": _q_significant_terms,
-        "bm25_page2": _q_bm25_page2,
-        "bm25_range_filtered": _q_bm25_range_filtered,
-        "mlt_topk": _q_mlt_topk,
-        "highlight_top5": _q_highlight_top5,
-        "multi_match_best_fields": _q_multi_match,
-        "bm25_rescore_phrase": _q_bm25_rescore_phrase,
-        "boosting_search": _q_boosting_search,
-        "sample_hash_10pct": _q_sample_hash,
-        "sample_stratified_lang": _q_sample_stratified,
-        "function_score_fvf": _q_function_score_fvf,
-        "terms_agg_sharded": _q_terms_agg_sharded,
-        "hits_sorted_by_len": _q_hits_sorted_by_len,
-        "token_count_percentiles": _q_token_count_percentiles,
+        # --- wave A: never driver-checked (round-5 additions) ------------
         "range_agg_nchars": _q_range_agg_nchars,
         "filters_agg": _q_filters_agg,
         "weighted_avg_value": _q_weighted_avg_value,
@@ -1519,7 +1474,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suggest_term": _q_suggest_term,
         "percentile_ranks_nchars": _q_percentile_ranks,
         "adjacency_matrix": _q_adjacency_matrix,
-        # training-data pipeline: dedup
+        "sample_stratified_lang": _q_sample_stratified,
+        "function_score_fvf": _q_function_score_fvf,
+        "terms_agg_sharded": _q_terms_agg_sharded,
+        "hits_sorted_by_len": _q_hits_sorted_by_len,
+        "token_count_percentiles": _q_token_count_percentiles,
+        # --- wave B: last driver-green in round 4 (stale in r5) ----------
         "dedup_exact_groups": _q_dedup_exact_groups,
         "dedup_keep_one": _q_dedup_keep_one,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
@@ -1528,14 +1488,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_cluster_labels": _q_dedup_cluster_labels,
         "dedup_fuzzy_keep_one": _q_dedup_fuzzy_keep_one,
-        # training-data pipeline: similarity search
         "ann_cosine_topk": _q_ann_cosine_topk,
         "embedding_near_dup": _q_embedding_near_dup,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_lsh_indexed_topk": _q_ann_lsh_indexed_topk,
         "ann_band_indexed_topk": _q_ann_band_indexed_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
-        # training-data pipeline: text analysis + multimodal plumbing
         "text_token_count": _q_text_token_count,
         "text_quality": _q_text_quality,
         "text_lang_id": _q_text_lang_id,
@@ -1543,6 +1501,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": _q_text_fingerprint,
         "multimodal_meta": _q_multimodal_meta,
         "multimodal_features": _q_multimodal_features,
+        # --- wave C: §2 representative core (rounds out the 50-window) ---
+        "geo_cell_agg_z9": _q_geo_cell_agg_z9,
+        "geo_cell_agg_z5_bbox": _q_geo_cell_agg_z5_bbox,
+        "geo_shard_parity_z9": _q_geo_shard_parity,
+        "geo_es_exact_z9": _q_geo_es_exact_z9,
+        "multi_match_best_fields": _q_multi_match,
+        "bm25_topk_or": _q_bm25_topk_or,
+        "bm25_batch_topk": _q_bm25_batch,
+        "match_count_and": _q_match_count_and,
+        "phrase_slop_topk": _q_phrase_slop_topk,
+        "fuzzy_topk": _q_fuzzy_topk,
+        "index_stats": _q_index_stats,
+        "docmap_sha256": _q_docmap_sha256,
+        # --- certified in earlier rounds; rotate back in next round ------
+        "geo_quantized_shard_z9": _q_geo_quantized_shard,
+        "geo_multipoint_z5": _q_geo_multipoint,
+        "geo_cell_metrics_z5": _q_geo_cell_metrics,
+        "geo_hits_total_bbox": _q_geo_hits_total_bbox,
+        "geo_hits_distance": _q_geo_hits_distance,
+        "geo_clustering_paris_z9": _q_geo_clustering_paris,
+        "bm25_topk_and": _q_bm25_topk_and,
+        "bm25_direct_topk": _q_bm25_direct,
+        "match_count_or": _q_match_count_or,
+        "match_count_msm2": _q_match_count_msm2,
+        "bm25_explain_top1": _q_bm25_explain_top1,
+        "bm25_topk_msm2": _q_bm25_topk_msm2,
+        "phrase_match_count": _q_phrase_match_count,
+        "phrase_topk": _q_phrase_topk,
+        "phrase_prefix_count": _q_phrase_prefix_count,
+        "phrase_prefix_topk": _q_phrase_prefix_topk,
+        "phrase_slop_count": _q_phrase_slop_count,
+        "term_df": _q_term_df,
+        "terms_agg_matched": _q_terms_agg_matched,
+        "fuzzy_match_count": _q_fuzzy_match_count,
+        "prefix_match_count": _q_prefix_match_count,
+        "prefix_topk": _q_prefix_topk,
+        "wildcard_match_count": _q_wildcard_match_count,
+        "regexp_match_count": _q_regexp_match_count,
+        "hits_stats_nchars": _q_hits_stats_nchars,
+        "hits_histogram_nchars": _q_hits_histogram_nchars,
+        "hits_percentiles_nchars": _q_hits_percentiles_nchars,
+        "top_hits_by_lang": _q_top_hits_by_lang,
+        "events_date_histogram": _q_events_date_histogram,
+        "cardinality_user_hll": _q_cardinality_user_hll,
+        "significant_terms_jlh": _q_significant_terms,
+        "bm25_page2": _q_bm25_page2,
+        "bm25_range_filtered": _q_bm25_range_filtered,
+        "mlt_topk": _q_mlt_topk,
+        "highlight_top5": _q_highlight_top5,
+        "bm25_rescore_phrase": _q_bm25_rescore_phrase,
+        "boosting_search": _q_boosting_search,
+        "sample_hash_10pct": _q_sample_hash,
     }
 
 

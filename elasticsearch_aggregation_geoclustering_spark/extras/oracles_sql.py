@@ -915,10 +915,12 @@ def hll_cardinality_sql(
     m = 1 << p
     alpha = hll_alpha(m)
     wbits = HLL_HASH_BITS - p
-    w = f"where {where}" if where else ""
+    # parenthesized + explicitly spaced: a predicate ending in an identifier
+    # (e.g. a bare boolean column) must not fuse with the injected "and"
+    w = f"where ({where}) and" if where else "where"
     return f"""
 with h as (
-  select {md5_long_sql(col)} as h from {table} {w}{"and" if where else "where"} {col} is not null
+  select {md5_long_sql(col)} as h from {table} {w} {col} is not null
 ),
 regs as (
   select h % {m} as register,

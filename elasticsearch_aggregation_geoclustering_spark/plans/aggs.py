@@ -37,6 +37,7 @@ __all__ = [
     "top_hits",
     "cardinality_exact",
     "significant_terms_jlh",
+    "terms_agg_sharded",
     "range_agg",
     "filters_agg",
     "weighted_avg",

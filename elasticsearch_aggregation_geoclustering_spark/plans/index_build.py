@@ -920,7 +920,11 @@ def append_index(
       ``xxhash64(*key_cols, content)`` over the batch, for ad-hoc callers
       with no external identity (``upsert_index`` computes it when no
       batch_id is given).  Same keys + different content ⇒ different xor ⇒
-      new batch.
+      new batch.  When the caller supplies NEITHER, append_index folds it
+      itself in the fingerprint pass (reading content there once) so every
+      ledger entry carries content identity — otherwise a later upsert of
+      the exact same key set could not tell replay from re-upsert and would
+      silently drop the update.
 
     ``allow_key_reuse=True`` (set by ``upsert_index``) additionally relaxes
     the keys-globally-unique contract: a (n, min, max)-colliding entry with
@@ -950,17 +954,36 @@ def append_index(
     bounds = _sample_key_boundaries(docs, key_cols, n_new, 2 * num_partitions)
     bexpr = _bucket_column(key_cols, bounds, dict(docs.dtypes))
     ks = _key_struct(key_cols)
+    # content identity: when the caller did not supply a content_xor, fold
+    # one into this same fingerprint pass (bit_xor is associative and
+    # commutative, so XOR of per-bucket folds equals upsert_index's
+    # whole-frame fold bit for bit).  Recording it on EVERY ledger entry is
+    # what lets a later upsert of the exact same key set distinguish
+    # replay from re-upsert — without it, upsert_index._is_replay degrades
+    # to key identity and silently drops the update.  Cost: this scan then
+    # reads the content column once; pass content_xor explicitly to skip.
+    fold_content = content_xor is None
     count_rows = (
         docs.select(
             bexpr.alias("_b"),
             ks.alias("_k"),
             F.xxhash64(*[F.col(c) for c in key_cols]).alias("_kh"),
+            *(
+                [
+                    F.xxhash64(
+                        *[F.col(c) for c in key_cols], F.col(content_col)
+                    ).alias("_ch")
+                ]
+                if fold_content
+                else []
+            ),
         )
         .groupBy("_b")
         .agg(
             F.count(F.lit(1)).alias("cnt"),
             F.min("_k").alias("kmin"),
             F.max("_k").alias("kmax"),
+            *([F.bit_xor(F.col("_ch")).alias("cxor")] if fold_content else []),
             # order-insensitive 64-bit fold of every key in the bucket: the
             # same key-only scan (content still pruned), but the ledger match
             # now distinguishes batches that agree on (n, min, max) while
@@ -992,6 +1015,11 @@ def append_index(
     key_xor = 0
     for r in count_rows:
         key_xor ^= int(r["kxor"])
+    if fold_content:
+        cx = 0
+        for r in count_rows:
+            cx ^= int(r["cxor"])
+        content_xor = cx
     batch_fp = {
         "n_docs": int(n_new),
         "min_key": list(min(tuple(r["kmin"]) for r in count_rows)),

@@ -366,6 +366,17 @@ class InvertedIndex:
                 cached = cached.where(F.col("term").isin(sorted(set(terms))))
             return cached
         pruned = self.postings(terms).select("term", "doc_ids_vb", "tfs_vb", "dls_vb")
+        if terms is not None:
+            # the term-pruned scan keeps the SEGMENT-FILE split (one task per
+            # file group) even when the query's posting rows are tiny; size
+            # the decode stage from the known Σ df instead (driver df dict —
+            # no job), so a few-term query runs one decode task instead of
+            # one per segment file.  Hot terms at corpus scale keep their
+            # parallelism (the estimate scales the partition count back up).
+            rows_est = sum(self.df_of(sorted(set(terms))).values())
+            target = max(1, -(-(rows_est * 48) // (64 << 20)))
+            if target < pruned.rdd.getNumPartitions():
+                pruned = pruned.coalesce(target)
         return pruned.mapInPandas(_decode_postings_fn(lucene_norms), DECODED_SCHEMA)
 
     def term_position_rows(

@@ -163,3 +163,70 @@ def test_every_query_has_an_oracle():
     q = set(entry_mod.queries())
     o = set(entry_mod.oracle_sql())
     assert q == o, f"queries-without-oracle: {q - o}; oracles-without-query: {o - q}"
+
+
+#: driver-coverage ledger: which round last produced a green CORRECTNESS row
+#: for each query (r5 checked dict positions 0-49 of the r5 ordering; r4
+#: covered the dedup/ANN/text/multimodal family).  Keys absent here have
+#: NEVER had a driver oracle row — the rotation rule below forces them into
+#: the checked window.  Update this after each round's CORRECTNESS_r*.json.
+LAST_DRIVER_GREEN = {
+    # r5 (CORRECTNESS_r05.json, 50/50 green)
+    **{k: 5 for k in [
+        "geo_cell_agg_z9", "geo_cell_agg_z5_bbox", "geo_shard_parity_z9",
+        "geo_quantized_shard_z9", "geo_multipoint_z5", "geo_cell_metrics_z5",
+        "geo_hits_total_bbox", "geo_hits_distance", "geo_clustering_paris_z9",
+        "geo_es_exact_z9", "bm25_topk_or", "bm25_topk_and", "bm25_direct_topk",
+        "bm25_batch_topk", "match_count_or", "match_count_msm2",
+        "bm25_explain_top1", "bm25_topk_msm2", "match_count_and",
+        "phrase_match_count", "phrase_topk", "phrase_prefix_count",
+        "phrase_prefix_topk", "phrase_slop_count", "phrase_slop_topk",
+        "term_df", "terms_agg_matched", "fuzzy_match_count",
+        "prefix_match_count", "prefix_topk", "fuzzy_topk",
+        "wildcard_match_count", "regexp_match_count", "index_stats",
+        "docmap_sha256", "hits_stats_nchars", "hits_histogram_nchars",
+        "hits_percentiles_nchars", "top_hits_by_lang", "events_date_histogram",
+        "cardinality_user_hll", "significant_terms_jlh", "bm25_page2",
+        "bm25_range_filtered", "mlt_topk", "highlight_top5",
+        "multi_match_best_fields", "bm25_rescore_phrase", "boosting_search",
+        "sample_hash_10pct",
+    ]},
+    # r4 (CORRECTNESS_r04.json) — stale but once-green
+    **{k: 4 for k in [
+        "dedup_exact_groups", "dedup_keep_one", "dedup_minhash_lsh",
+        "dedup_simhash", "dedup_simhash_pairs", "dedup_ngram_jaccard",
+        "dedup_cluster_labels", "dedup_fuzzy_keep_one", "ann_cosine_topk",
+        "embedding_near_dup", "ann_lsh_topk", "ann_lsh_indexed_topk",
+        "ann_band_indexed_topk", "ann_ivf_topk", "text_token_count",
+        "text_quality", "text_lang_id", "text_unigram_logprob",
+        "text_fingerprint", "multimodal_meta", "multimodal_features",
+    ]},
+}
+
+
+def test_driver_window_rotation():
+    """The driver's oracle gate has checked the FIRST 50 queries() entries;
+    round 5 lost coverage by appending new entries behind position 49.
+    Encode the rotation so it cannot regress: every never-driver-checked
+    query must sit inside the 50-entry window, and (while any such query
+    exists) the window must not burn slots on entries certified green in
+    BOTH of the last two rounds."""
+    order = list(entry_mod.queries())
+    window = order[:50]
+    never = [k for k in order if k not in LAST_DRIVER_GREEN]
+    missing = [k for k in never if k not in window]
+    assert not missing, f"never-driver-checked queries outside the window: {missing}"
+    if never or any(LAST_DRIVER_GREEN[k] <= 4 for k in order if k in LAST_DRIVER_GREEN):
+        double_certified = [
+            k for k in window
+            if LAST_DRIVER_GREEN.get(k, 0) >= 5
+        ]
+        # the representative core is allowed 12 slots; more than that while
+        # stale/never-checked entries wait outside is wasted coverage
+        stale_outside = [
+            k for k in order[50:] if LAST_DRIVER_GREEN.get(k, 99) <= 4
+        ]
+        assert len(double_certified) <= 12 or not stale_outside, (
+            f"window holds {len(double_certified)} already-certified entries "
+            f"while stale entries wait outside: {stale_outside}"
+        )

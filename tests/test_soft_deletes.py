@@ -132,6 +132,42 @@ def test_upsert_replaces_by_key(spark, index_dir):
     assert gen == 2
 
 
+def test_upsert_after_plain_append_same_keys_updates(spark, index_dir):
+    """A batch appended WITHOUT batch_id/content_xor must still be
+    distinguishable from a later upsert of the exact same key set with new
+    content: append_index now folds a content_xor into its fingerprint pass
+    and records it in the ledger, so the upsert classifies as a NEW batch
+    (delete runs, fresh segments built) instead of a replay no-op."""
+    from elasticsearch_aggregation_geoclustering_spark.plans.index_build import (
+        append_index,
+    )
+
+    batch = spark.createDataFrame(
+        [(7, "kappa lambda"), (8, "lambda mu")], "orig_id long, text string"
+    )
+    append_index(spark, batch, index_dir, content_col="text", key_cols=("orig_id",))
+    idx = InvertedIndex.open(spark, index_dir)
+    assert idx.match_count(["kappa"]) == 1
+
+    # same EXACT key set {7, 8}, new content, no batch_id
+    updated = spark.createDataFrame(
+        [(7, "nu xi"), (8, "xi omicron")], "orig_id long, text string"
+    )
+    upsert_index(
+        spark, updated, index_dir, content_col="text", key_cols=("orig_id",)
+    )
+    idx2 = InvertedIndex.open(spark, index_dir)
+    assert idx2.match_count(["kappa"]) == 0  # old generation tombstoned
+    assert _orig_ids(idx2, idx2.search(["xi"], k=10)) == [7, 8]
+    # and a true REPLAY of that upsert is still a no-op (ledger has cxor)
+    upsert_index(
+        spark, updated, index_dir, content_col="text", key_cols=("orig_id",)
+    )
+    idx3 = InvertedIndex.open(spark, index_dir)
+    assert _orig_ids(idx3, idx3.search(["xi"], k=10)) == [7, 8]
+    assert idx3.match_count(["nu"]) == 1
+
+
 def test_upsert_replay_keeps_batch_live(spark, index_dir):
     """An at-least-once redelivery of the SAME upsert batch must be a no-op.
 
