@@ -140,12 +140,16 @@ def multi_match_best_fields(
     shared projection — ``dl = size(tokens)``, ``tf(t) = size(tokens) −
     size(array_remove(tokens, t))``, all native array builtins with the
     tokenize subexpression CSE'd once per field — so the whole query is
-    TWO zero-shuffle corpus passes total (one scalar stats aggregate, one
-    scoring projection + TakeOrderedAndProject), independent of the field
-    count.  The earlier shape ran per field an explode → groupBy(doc)
-    shuffle TWICE (stats pass + scoring pass — the lazy frame re-ran its
-    lineage per action) and full-outer-joined the per-field frames: for F
-    fields, 2F corpus scans, 2F shuffles and F−1 joins versus 2 scans and
+    ONE tokenize pass over the corpus, independent of the field count.
+    The numeric projection (1 + F·(T+1) longs per doc — orders of
+    magnitude smaller than the text it summarizes) is persisted spillable
+    for the duration of the query: the stats aggregate materializes it and
+    the scoring projection + TakeOrderedAndProject reads the cached
+    numbers instead of re-tokenizing the corpus (the lazy lineage used to
+    re-run per action).  Zero shuffles either way.  The earlier shape ran
+    per field an explode → groupBy(doc) shuffle TWICE (stats pass +
+    scoring pass) and full-outer-joined the per-field frames: for F
+    fields, 2F corpus scans, 2F shuffles and F−1 joins versus 1 scan and
     0 shuffles now.
 
     Scores are bit-identical: a zero-tf term contributes ``idf · 0/(0 +
@@ -177,59 +181,63 @@ def multi_match_best_fields(
         for j, t in enumerate(terms):
             tf = F.size(toks) - F.size(F.array_remove(toks, t))
             proj_cols.append(F.coalesce(tf, F.lit(0)).alias(f"_tf{i}_{j}"))
-    proj = docs.select(*proj_cols)
+    from pyspark import StorageLevel
 
-    stats = proj.agg(
-        F.count(F.lit(1)).alias("n"),
-        *[F.coalesce(F.sum(f"_dl{i}"), F.lit(0)).alias(f"_total{i}") for i in range(nf)],
-        *[
-            F.sum((F.col(f"_tf{i}_{j}") > 0).cast("long")).alias(f"_df{i}_{j}")
-            for i in range(nf)
-            for j in range(nt)
-        ],
-    ).collect()[0]
-    n_docs = int(stats["n"])
-    if n_docs == 0:
-        return spark.createDataFrame([], "doc_id long, score double")
+    proj = docs.select(*proj_cols).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        stats = proj.agg(
+            F.count(F.lit(1)).alias("n"),
+            *[F.coalesce(F.sum(f"_dl{i}"), F.lit(0)).alias(f"_total{i}") for i in range(nf)],
+            *[
+                F.sum((F.col(f"_tf{i}_{j}") > 0).cast("long")).alias(f"_df{i}_{j}")
+                for i in range(nf)
+                for j in range(nt)
+            ],
+        ).collect()[0]
+        n_docs = int(stats["n"])
+        if n_docs == 0:
+            return spark.createDataFrame([], "doc_id long, score double")
 
-    field_scores = []
-    matched = F.lit(False)
-    for i in range(nf):
-        avgdl = float(stats[f"_total{i}"]) / n_docs
-        dl_d = F.col(f"_dl{i}").cast("double")
-        norm = F.lit(params.k1) * (
-            F.lit(1.0) - F.lit(params.b) + F.lit(params.b) * dl_d / F.lit(avgdl)
+        field_scores = []
+        matched = F.lit(False)
+        for i in range(nf):
+            avgdl = float(stats[f"_total{i}"]) / n_docs
+            dl_d = F.col(f"_dl{i}").cast("double")
+            norm = F.lit(params.k1) * (
+                F.lit(1.0) - F.lit(params.b) + F.lit(params.b) * dl_d / F.lit(avgdl)
+            )
+            score_i = F.lit(0.0)
+            for j in range(nt):  # sorted terms => deterministic fold order
+                df_j = int(stats[f"_df{i}_{j}"])
+                idf = math.log(1.0 + (n_docs - df_j + 0.5) / (df_j + 0.5))
+                tf_d = F.col(f"_tf{i}_{j}").cast("double")
+                score_i = score_i + F.lit(idf) * (tf_d / (tf_d + norm))
+                matched = matched | (F.col(f"_tf{i}_{j}") > 0)
+            field_scores.append(score_i)
+
+        best = F.greatest(*field_scores) if nf > 1 else field_scores[0]
+        total = field_scores[0]
+        for c in field_scores[1:]:
+            total = total + c
+        score = best + F.lit(tie_breaker) * (total - best)
+        result_schema = StructType(
+            [
+                StructField("doc_id", docs.schema[id_col].dataType),
+                StructField("score", DoubleType()),
+            ]
         )
-        score_i = F.lit(0.0)
-        for j in range(nt):  # sorted terms => deterministic fold order
-            df_j = int(stats[f"_df{i}_{j}"])
-            idf = math.log(1.0 + (n_docs - df_j + 0.5) / (df_j + 0.5))
-            tf_d = F.col(f"_tf{i}_{j}").cast("double")
-            score_i = score_i + F.lit(idf) * (tf_d / (tf_d + norm))
-            matched = matched | (F.col(f"_tf{i}_{j}") > 0)
-        field_scores.append(score_i)
-
-    best = F.greatest(*field_scores) if nf > 1 else field_scores[0]
-    total = field_scores[0]
-    for c in field_scores[1:]:
-        total = total + c
-    score = best + F.lit(tie_breaker) * (total - best)
-    result_schema = StructType(
-        [
-            StructField("doc_id", docs.schema[id_col].dataType),
-            StructField("score", DoubleType()),
-        ]
-    )
-    rows = (
-        proj.where(matched)
-        .select("doc_id", score.alias("score"))
-        .orderBy(F.desc("score"), F.asc("doc_id"))
-        .limit(k)
-        .collect()
-    )
-    return spark.createDataFrame(
-        [(r["doc_id"], r["score"]) for r in rows], result_schema
-    )
+        rows = (
+            proj.where(matched)
+            .select("doc_id", score.alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+            .collect()
+        )
+        return spark.createDataFrame(
+            [(r["doc_id"], r["score"]) for r in rows], result_schema
+        )
+    finally:
+        proj.unpersist()
 
 
 def dis_max(

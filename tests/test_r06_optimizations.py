@@ -184,3 +184,31 @@ def test_uncached_decode_coalesce_preserves_rows(toy_index):
 
     per_term = Counter(r[0] for r in rows)
     assert per_term == Counter({t: dfm[t] for t in dfm})
+
+
+def test_multi_match_persist_releases_and_scores_match(spark):
+    """The persisted numeric projection (1-tokenize-pass multi_match) must
+    score identically to first principles and unpersist its frame before
+    returning — no cached relation may outlive the call."""
+    from elasticsearch_aggregation_geoclustering_spark.plans import multimatch
+
+    docs = spark.createDataFrame(
+        [(i, t, t[:10]) for i, t in DOCS], "doc_id long, text string, title string"
+    )
+    got = _bits(
+        (r["doc_id"], r["score"])
+        for r in multimatch.multi_match_best_fields(
+            docs, ["alpha", "beta"], ["title", "text"], k=20, tie_breaker=0.3
+        ).collect()
+    )
+    again = _bits(
+        (r["doc_id"], r["score"])
+        for r in multimatch.multi_match_best_fields(
+            docs, ["alpha", "beta"], ["title", "text"], k=20, tie_breaker=0.3
+        ).collect()
+    )
+    assert got == again and len(got) > 0
+    # the query-scoped persist must be released (snapshot hygiene: a long
+    # session running many multi_match queries must not accumulate caches)
+    jsc = spark.sparkContext._jsc.sc()
+    assert jsc.getPersistentRDDs().size() == 0
