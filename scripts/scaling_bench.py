@@ -189,8 +189,19 @@ def main() -> None:
     repeats = int(os.environ.get("SCALING_REPEATS", "3"))
     max_attempts = int(os.environ.get("SCALING_MAX_ATTEMPTS", "5"))
     context_repeats = int(os.environ.get("SCALING_CONTEXT_REPEATS", "1"))
+    warmup_replicate = int(os.environ.get("SCALING_WARMUP_REPLICATE", "0"))
     make_pyfiles_zip()
     calib = host_calibration()  # session-level ceilings, for the context table
+
+    # pre-registered session-I amendment: one UNSCORED N leg + one UNSCORED
+    # 4N leg at a small replicate before any scored pair, so the first scored
+    # pair does not absorb session-cold state (testdata page cache, py-files
+    # bytecode compilation) the later pairs never pay.  Warmup results are
+    # printed and discarded; the scored protocol is unchanged.
+    if warmup_replicate > 0:
+        for master in ("local[2]", "local[8]"):
+            w = run(master, warmup_replicate, pack=True)
+            print(json.dumps({"warmup": master, "files_per_sec": w["files_per_sec"]}), flush=True)
 
     # headline (pack/positions): keep running interleaved pairs until
     # `repeats` QUIET pairs are in hand or the attempt budget runs out —
